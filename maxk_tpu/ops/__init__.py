@@ -1,0 +1,18 @@
+from maxk_tpu.ops.graph import CSRGraph, TiledGraph, build_tiled_graph
+from maxk_tpu.ops.spmm import spmm, spmm_dense_oracle, spmm_segment
+from maxk_tpu.ops.maxk import maxk
+from maxk_tpu.ops.cbsr import cbsr_topk, cbsr_expand
+from maxk_tpu.ops.spgemm import maxk_spgemm
+
+__all__ = [
+    "CSRGraph",
+    "TiledGraph",
+    "build_tiled_graph",
+    "spmm",
+    "spmm_dense_oracle",
+    "spmm_segment",
+    "maxk",
+    "cbsr_topk",
+    "cbsr_expand",
+    "maxk_spgemm",
+]

@@ -1,0 +1,197 @@
+"""Graph containers: host-side CSR and the device-side TiledGraph pytree.
+
+The reference keeps graphs as raw CSR arrays read straight into CUDA
+managed memory (reference kernels/util.h:8-24, kernels/main.cu:56-71) and
+recomputes scheduling metadata from disk on every kernel call
+(reference kernels/spmm_maxk.cu:117). Here the graph is loaded once into a
+host CSRGraph, all derived structure (transpose, normalization, row-block
+tiles) is computed once, and the result is a JAX pytree (TiledGraph) that
+can be jit-traced, donated, and sharded like any other array data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from maxk_tpu.ops.tiling import TileSet, build_tiles_fast
+
+
+# ---------------------------------------------------------------------------
+# Host-side CSR graph
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class CSRGraph:
+    """Host (numpy) CSR adjacency.
+
+    indptr:  (V+1,) int64/int32 row pointers
+    indices: (E,)   int32 column indices (sorted within each row not required)
+    values:  (E,)   float32 edge values (defaults to 1.0)
+    """
+
+    indptr: np.ndarray
+    indices: np.ndarray
+    values: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        self.indptr = np.asarray(self.indptr, dtype=np.int64)
+        self.indices = np.asarray(self.indices, dtype=np.int32)
+        if self.values is None:
+            self.values = np.ones(self.indices.shape[0], dtype=np.float32)
+        else:
+            self.values = np.asarray(self.values, dtype=np.float32)
+
+    @property
+    def n_nodes(self) -> int:
+        return int(self.indptr.shape[0]) - 1
+
+    @property
+    def n_edges(self) -> int:
+        return int(self.indices.shape[0])
+
+    @property
+    def out_degrees(self) -> np.ndarray:
+        return np.diff(self.indptr).astype(np.int64)
+
+    @property
+    def in_degrees(self) -> np.ndarray:
+        return np.bincount(self.indices, minlength=self.n_nodes).astype(np.int64)
+
+    @property
+    def avg_degree(self) -> float:
+        return self.n_edges / max(1, self.n_nodes)
+
+    # -- constructors -------------------------------------------------------
+
+    @staticmethod
+    def from_coo(src: np.ndarray, dst: np.ndarray, n_nodes: int,
+                 values: Optional[np.ndarray] = None) -> "CSRGraph":
+        """Rows = src, columns = dst."""
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int32)
+        order = np.argsort(src, kind="stable")
+        src_s, dst_s = src[order], dst[order]
+        vals_s = None if values is None else np.asarray(values, np.float32)[order]
+        counts = np.bincount(src_s, minlength=n_nodes)
+        indptr = np.zeros(n_nodes + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        return CSRGraph(indptr, dst_s, vals_s)
+
+    def to_coo(self) -> tuple[np.ndarray, np.ndarray]:
+        rows = np.repeat(np.arange(self.n_nodes, dtype=np.int64),
+                         np.diff(self.indptr))
+        return rows, self.indices.astype(np.int64)
+
+    # -- structural transforms ---------------------------------------------
+
+    def transpose(self) -> "CSRGraph":
+        """CSC of A == CSR of A^T, carrying edge values across."""
+        rows, cols = self.to_coo()
+        return CSRGraph.from_coo(cols, rows.astype(np.int32), self.n_nodes,
+                                 values=self.values)
+
+    def remove_self_loops(self) -> "CSRGraph":
+        rows, cols = self.to_coo()
+        keep = rows != cols
+        return CSRGraph.from_coo(rows[keep], cols[keep].astype(np.int32),
+                                 self.n_nodes, values=self.values[keep])
+
+    def add_self_loops(self, dedup: bool = True) -> "CSRGraph":
+        """Add i->i edges with value 1.0 (reference uses DGL AddSelfLoop,
+        which removes existing self-loops first — maxk_gnn_dgl.py:138-140)."""
+        g = self.remove_self_loops() if dedup else self
+        rows, cols = g.to_coo()
+        loop = np.arange(g.n_nodes, dtype=np.int64)
+        rows = np.concatenate([rows, loop])
+        cols = np.concatenate([cols, loop.astype(np.int32)])
+        vals = np.concatenate([g.values, np.ones(g.n_nodes, np.float32)])
+        return CSRGraph.from_coo(rows, cols.astype(np.int32), g.n_nodes, vals)
+
+    def with_values(self, values: np.ndarray) -> "CSRGraph":
+        return CSRGraph(self.indptr, self.indices, values)
+
+    # -- normalizations (aggregator semantics) ------------------------------
+
+    def normalize(self, mode: str) -> "CSRGraph":
+        """Return a graph whose values implement an aggregation rule.
+
+        mode='none': raw values (sum aggregation).
+        mode='mean': value[e] /= out_degree(row(e)) — mean over neighbors,
+            matching the reference SAGE fallback aggregation
+            (utils/models.py:270, sparse.mm / deg).
+        mode='sym':  value[e] /= sqrt(d_in(col) * d_out(row)) — the GCN
+            'both' normalization of dgl.nn.GraphConv used by GCN/GNN_res.
+        """
+        if mode == "none":
+            return self
+        rows, cols = self.to_coo()
+        if mode == "mean":
+            deg = np.maximum(np.diff(self.indptr), 1).astype(np.float32)
+            vals = self.values / deg[rows]
+        elif mode == "sym":
+            # DGL norm='both' uses out-degree for source, in-degree for dest;
+            # on the (symmetric) benchmark graphs these coincide.
+            d_out = np.maximum(np.diff(self.indptr), 1).astype(np.float32)
+            d_in = np.maximum(self.in_degrees, 1).astype(np.float32)
+            vals = self.values / (np.sqrt(d_out[rows]) * np.sqrt(d_in[cols]))
+        else:
+            raise ValueError(f"unknown normalization mode: {mode}")
+        return self.with_values(vals.astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Device-side tiled graph pytree
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class TiledGraph:
+    """Jit-traceable tiled CSR graph (see maxk_tpu.ops.tiling for layout).
+
+    Array leaves (pytree data):
+      cols/vals/lrow: (T, C) edge tiles; block: (T,) row-block ids.
+    Static fields (hashable aux data):
+      n_nodes, n_edges, row_block, edge_tile, n_rows_padded.
+    """
+
+    cols: jax.Array
+    vals: jax.Array
+    lrow: jax.Array
+    block: jax.Array
+    n_nodes: int = struct.field(pytree_node=False)
+    n_edges: int = struct.field(pytree_node=False)
+    row_block: int = struct.field(pytree_node=False)
+    edge_tile: int = struct.field(pytree_node=False)
+    n_rows_padded: int = struct.field(pytree_node=False)
+
+    @property
+    def n_tiles(self) -> int:
+        return self.cols.shape[0]
+
+
+def _tileset_to_device(ts: TileSet, n_nodes: int, n_edges: int) -> TiledGraph:
+    return TiledGraph(
+        cols=jnp.asarray(ts.cols),
+        vals=jnp.asarray(ts.vals),
+        lrow=jnp.asarray(ts.lrow),
+        block=jnp.asarray(ts.block),
+        n_nodes=n_nodes,
+        n_edges=n_edges,
+        row_block=ts.row_block,
+        edge_tile=ts.edge_tile,
+        n_rows_padded=ts.n_rows_padded,
+    )
+
+
+def build_tiled_graph(csr: CSRGraph,
+                      row_block: Optional[int] = None,
+                      edge_tile: Optional[int] = None) -> TiledGraph:
+    """Host CSR -> device TiledGraph (tiles built once, on host)."""
+    ts = build_tiles_fast(csr.indptr, csr.indices, csr.values,
+                          row_block=row_block, edge_tile=edge_tile)
+    return _tileset_to_device(ts, csr.n_nodes, csr.n_edges)

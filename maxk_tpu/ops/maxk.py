@@ -1,0 +1,43 @@
+"""MaxK nonlinearity: keep each row's top-k channels, zero the rest.
+
+Reference semantics: utils/models.py:28-59 (torch.topk -> binary mask ->
+input * mask; backward = grad * mask, i.e. straight-through on the kept
+positions). Implemented with jax.lax.top_k in full fp32 — the reference's
+standalone CUDA TopK kernel quantizes through uint8 and crashes for k<19
+(reference kernels/maxk_kernel.cu, test_topk_bug.py); this implementation
+has neither defect and supports any 1 <= k <= D.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def maxk_mask(x: jax.Array, k: int) -> jax.Array:
+    """Binary mask of each row's top-k entries (ties broken by lower index,
+    matching torch.topk/lax.top_k ordering)."""
+    _, idx = jax.lax.top_k(x, k)
+    rows = jnp.arange(x.shape[0])[:, None]
+    return jnp.zeros_like(x).at[rows, idx].set(1.0, mode="drop",
+                                               unique_indices=True)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def maxk(x: jax.Array, k: int) -> jax.Array:
+    """MaxK(x): x * topk_mask(x). Rows of x are nodes, columns channels."""
+    return x * maxk_mask(x, k)
+
+
+def _maxk_fwd(x, k):
+    mask = maxk_mask(x, k)
+    return x * mask, mask
+
+
+def _maxk_bwd(k, mask, g):
+    return (g * mask,)
+
+
+maxk.defvjp(_maxk_fwd, _maxk_bwd)

@@ -1,0 +1,138 @@
+"""SpMM: sparse (CSR/COO) adjacency times dense features, TPU-native.
+
+Three execution strategies, all numerically validated against each other
+(tests/test_spmm.py):
+
+1. ``spmm_dense_oracle`` — densify A and matmul. Exact oracle for tests.
+2. ``spmm_segment``      — gather + jax.ops.segment_sum (scatter-add).
+   This is the unfused "library baseline": the role cuSPARSE SpMM plays in
+   the reference benchmark (reference kernels/spmm_cusparse.cu:6-52).
+3. ``spmm`` (tiled)      — the production path. lax.scan over row-block
+   edge tiles; each tile gathers its neighbor feature rows and reduces them
+   with a one-hot segment matmul on the MXU, then accumulates into its row
+   block. Race-free by construction — the TPU answer to the reference's
+   shared-memory accumulation + atomicAdd flush
+   (reference kernels/spmm_maxk.cu:101-110).
+
+The tiled path is the kernel consumed by model aggregation and by the
+fused MaxK SpGEMM (maxk_tpu.ops.spgemm).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maxk_tpu.ops.graph import CSRGraph, TiledGraph
+
+
+# ---------------------------------------------------------------------------
+# Oracles / baselines
+# ---------------------------------------------------------------------------
+
+def spmm_dense_oracle(csr: CSRGraph, x: np.ndarray) -> np.ndarray:
+    """Dense numpy oracle: A @ x. For tests only (O(V^2) memory)."""
+    v = csr.n_nodes
+    a = np.zeros((v, v), dtype=np.float64)
+    rows, cols = csr.to_coo()
+    np.add.at(a, (rows, cols), csr.values.astype(np.float64))
+    return (a @ np.asarray(x, np.float64)).astype(np.float32)
+
+
+def spmm_coo(rows: jax.Array, cols: jax.Array, vals: jax.Array,
+             x: jax.Array, n_nodes: int) -> jax.Array:
+    """COO SpMM via gather + segment_sum (capability parity with the
+    reference's cuSPARSE COO path, kernels/spmm_cusparse.cu:65-119)."""
+    contrib = vals[:, None] * jnp.take(x, cols, axis=0)
+    return jax.ops.segment_sum(contrib, rows, num_segments=n_nodes)
+
+
+def spmm_segment(g: TiledGraph, x: jax.Array) -> jax.Array:
+    """Unfused scatter-add baseline on the tiled layout.
+
+    Gathers all neighbor rows tile-by-tile and scatter-adds into the output
+    with global segment ids. Serves as the cuSPARSE-equivalent reference
+    point for speedup reporting (BASELINE.md timing protocol).
+    """
+    n_out = g.n_rows_padded
+    d = x.shape[1]
+
+    def step(out, tile):
+        cols, vals, lrow, blk = tile
+        xg = jnp.take(x, cols, axis=0)            # (C, D) gather
+        contrib = vals[:, None] * xg
+        grow = jnp.where(lrow >= g.row_block, n_out, blk * g.row_block + lrow)
+        out = out.at[grow].add(contrib, mode="drop")
+        return out, None
+
+    out = jnp.zeros((n_out, d), dtype=x.dtype)
+    out, _ = jax.lax.scan(step, out, (g.cols, g.vals, g.lrow, g.block))
+    return out[: g.n_nodes]
+
+
+# ---------------------------------------------------------------------------
+# Production tiled SpMM (MXU one-hot segment matmul)
+# ---------------------------------------------------------------------------
+
+def _tile_reduce(xg: jax.Array, vals: jax.Array, lrow: jax.Array,
+                 row_block: int, compute_dtype) -> jax.Array:
+    """Reduce one edge tile to its (row_block, D) partial output.
+
+    Builds P[r, e] = vals[e] * 1{lrow[e] == r} and computes P @ xg on the
+    MXU. Row index row_block is the garbage row for padding slots; it is
+    computed and discarded (branch-free padding).
+    """
+    r_ids = jnp.arange(row_block + 1, dtype=lrow.dtype)
+    p = jnp.where(lrow[None, :] == r_ids[:, None], vals[None, :], 0.0)
+    # On TPU, f32 matmuls default to one bf16 MXU pass; when the caller
+    # asks for float32 compute, request full-precision passes.
+    precision = ("highest" if jnp.dtype(compute_dtype) == jnp.float32
+                 else "default")
+    t = jnp.dot(p.astype(compute_dtype), xg.astype(compute_dtype),
+                preferred_element_type=jnp.float32, precision=precision)
+    return t[:row_block]
+
+
+@partial(jax.jit, static_argnames=("row_block", "n_rows_padded",
+                                   "compute_dtype_name"))
+def _spmm_tiled_impl(cols, vals, lrow, block, x,
+                     row_block: int, n_rows_padded: int,
+                     compute_dtype_name: str):
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    d = x.shape[1]
+
+    def step(out, tile):
+        tcols, tvals, tlrow, tblk = tile
+        xg = jnp.take(x, tcols, axis=0)                        # (C, D)
+        t = _tile_reduce(xg, tvals, tlrow, row_block, compute_dtype)
+        off = tblk * row_block
+        cur = jax.lax.dynamic_slice(out, (off, 0), (row_block, d))
+        out = jax.lax.dynamic_update_slice(out, cur + t, (off, 0))
+        return out, None
+
+    out = jnp.zeros((n_rows_padded, d), dtype=jnp.float32)
+    out, _ = jax.lax.scan(step, out, (cols, vals, lrow, block))
+    return out
+
+
+def spmm(g: TiledGraph, x: jax.Array,
+         compute_dtype: Optional[jnp.dtype] = None) -> jax.Array:
+    """Tiled SpMM: out[r] = sum_{e in row r} vals[e] * x[cols[e]].
+
+    Args:
+      g: tiled graph (values already encode the aggregation normalization —
+         see CSRGraph.normalize).
+      x: (V, D) dense features.
+      compute_dtype: matmul input dtype; defaults to bfloat16 on TPU
+         (accumulation is always fp32 via preferred_element_type).
+    """
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if x.dtype == jnp.float32 else x.dtype
+    out = _spmm_tiled_impl(g.cols, g.vals, g.lrow, g.block, x,
+                           g.row_block, g.n_rows_padded,
+                           jnp.dtype(compute_dtype).name)
+    return out[: g.n_nodes].astype(x.dtype)

@@ -1,0 +1,172 @@
+"""Training datasets: flickr / reddit / yelp / ogbn-arxiv / ogbn-products /
+ogbn-proteins (+ synthetic), matching the reference driver's loading
+semantics (reference maxk_gnn_dgl.py:136-206, utils/proteins_loader.py).
+
+Wire format. This environment has no DGL/OGB and no network egress, so real
+datasets are consumed from a preprocessed ``<data_path>/<name>.npz`` with:
+
+  indptr      (V+1,) int64/int32   CSR of the (self-loop-transformed) graph
+  indices     (E,)   int32
+  feat        (V, F) float32       node features
+  label       (V,) int64  or (V, C) float32 for multilabel (yelp, proteins)
+  train_mask / val_mask / test_mask  (V,) bool
+  num_classes ()     int
+
+``tools/convert_dgl_dataset.py`` produces these files on any machine with
+dgl+ogb installed, replicating the reference's transforms: DGL AddSelfLoop
+for reddit/flickr/yelp (maxk_gnn_dgl.py:138-140), OGB split->bool masks
+(:167-178), and the proteins edge-feature aggregation + 112 binary targets
+(utils/proteins_loader.py:42-45). The proteins edge aggregation is also
+implemented here in numpy (aggregate_edge_features) for converters and
+tests.
+
+The ``synthetic`` dataset needs no files: a seeded power-law graph whose
+labels are recoverable from features + neighborhood structure, so training
+smoke tests show real accuracy movement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from maxk_tpu.ops.graph import CSRGraph
+from maxk_tpu.data.loaders import synthetic_graph
+
+
+# Reference datasets and their loss/metric wiring
+# (maxk_gnn_dgl.py:81-84 — BCE for yelp/proteins; :41-75 — rocauc for
+# proteins, micro-F1 elsewhere).
+DATASET_REGISTRY = {
+    "reddit": dict(multilabel=False, metric="micro_f1"),
+    "flickr": dict(multilabel=False, metric="micro_f1"),
+    "yelp": dict(multilabel=True, metric="micro_f1"),
+    "ogbn-arxiv": dict(multilabel=False, metric="micro_f1"),
+    "ogbn-products": dict(multilabel=False, metric="micro_f1"),
+    "ogbn-proteins": dict(multilabel=True, metric="rocauc"),
+    "synthetic": dict(multilabel=False, metric="micro_f1"),
+}
+
+
+@dataclasses.dataclass
+class Dataset:
+    name: str
+    csr: CSRGraph
+    features: np.ndarray          # (V, F) float32
+    labels: np.ndarray            # (V,) int64 or (V, C) float32
+    train_mask: np.ndarray        # (V,) bool
+    val_mask: np.ndarray
+    test_mask: np.ndarray
+    num_classes: int
+    multilabel: bool
+    metric: str
+
+    @property
+    def in_size(self) -> int:
+        return int(self.features.shape[1])
+
+
+def aggregate_edge_features(indptr: np.ndarray, indices: np.ndarray,
+                            edge_feat: np.ndarray) -> np.ndarray:
+    """Node features as the sum of adjacent (incoming) edge features —
+    the ogbn-proteins transform (reference utils/proteins_loader.py:42-45,
+    dgl update_all(copy_e, sum) which sums messages over in-edges)."""
+    n_nodes = len(indptr) - 1
+    out = np.zeros((n_nodes, edge_feat.shape[1]), dtype=np.float32)
+    np.add.at(out, indices, edge_feat.astype(np.float32))
+    return out
+
+
+def _load_npz(name: str, data_path: str) -> Dataset:
+    path = Path(data_path) / f"{name}.npz"
+    if not path.exists():
+        raise FileNotFoundError(
+            f"{path} not found. Preprocess the dataset on a machine with "
+            f"dgl/ogb via tools/convert_dgl_dataset.py --dataset {name} "
+            f"--out {data_path}")
+    z = np.load(path, allow_pickle=False)
+    info = DATASET_REGISTRY[name]
+    labels = z["label"]
+    if info["multilabel"]:
+        labels = labels.astype(np.float32)
+    else:
+        labels = labels.astype(np.int64)
+    return Dataset(
+        name=name,
+        csr=CSRGraph(z["indptr"].astype(np.int64),
+                     z["indices"].astype(np.int32)),
+        features=z["feat"].astype(np.float32),
+        labels=labels,
+        train_mask=z["train_mask"].astype(bool),
+        val_mask=z["val_mask"].astype(bool),
+        test_mask=z["test_mask"].astype(bool),
+        num_classes=int(z["num_classes"]),
+        multilabel=info["multilabel"],
+        metric=info["metric"],
+    )
+
+
+def make_synthetic_dataset(n_nodes: int = 2048, avg_degree: float = 12.0,
+                           n_classes: int = 8, in_size: int = 64,
+                           seed: int = 0) -> Dataset:
+    """Learnable synthetic node classification.
+
+    Labels are planted cluster ids; features are noisy label prototypes, and
+    edges are rewired to prefer same-label endpoints, so both the feature
+    path and the aggregation path carry signal.
+    """
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, n_classes, size=n_nodes)
+    g = synthetic_graph(n_nodes, avg_degree, seed=seed, power_law=True)
+    rows, cols = g.to_coo()
+    # Rewire ~60% of cross-label edges to a random same-label target.
+    cross = labels[rows] != labels[cols]
+    rewire = cross & (rng.uniform(size=len(rows)) < 0.6)
+    for c in range(n_classes):
+        members = np.nonzero(labels == c)[0]
+        sel = rewire & (labels[rows] == c)
+        cols[sel] = rng.choice(members, size=int(sel.sum()))
+    csr = CSRGraph.from_coo(rows, cols.astype(np.int32), n_nodes)
+
+    prototypes = rng.normal(size=(n_classes, in_size)).astype(np.float32)
+    feat = (prototypes[labels]
+            + 1.5 * rng.normal(size=(n_nodes, in_size))).astype(np.float32)
+
+    idx = rng.permutation(n_nodes)
+    n_tr, n_va = int(0.6 * n_nodes), int(0.2 * n_nodes)
+    train_mask = np.zeros(n_nodes, bool)
+    val_mask = np.zeros(n_nodes, bool)
+    test_mask = np.zeros(n_nodes, bool)
+    train_mask[idx[:n_tr]] = True
+    val_mask[idx[n_tr:n_tr + n_va]] = True
+    test_mask[idx[n_tr + n_va:]] = True
+
+    return Dataset(name="synthetic", csr=csr, features=feat,
+                   labels=labels.astype(np.int64), train_mask=train_mask,
+                   val_mask=val_mask, test_mask=test_mask,
+                   num_classes=n_classes, multilabel=False,
+                   metric="micro_f1")
+
+
+def load_dataset(name: str, data_path: str = "./data/",
+                 selfloop: bool = False, seed: int = 0) -> Dataset:
+    """Dataset switch matching the reference driver (maxk_gnn_dgl.py:136-206).
+
+    selfloop applies dgl.add_self_loop semantics after loading
+    (maxk_gnn_dgl.py:205-206). ogbn-proteins forces out_size=112
+    (maxk_gnn_dgl.py:203-204) — encoded as num_classes in the npz.
+    """
+    if name not in DATASET_REGISTRY:
+        raise ValueError(
+            f"unknown dataset {name!r}; choose from {sorted(DATASET_REGISTRY)}")
+    if name == "synthetic":
+        ds = make_synthetic_dataset(seed=seed)
+    else:
+        ds = _load_npz(name, data_path)
+    if selfloop:
+        ds = dataclasses.replace(ds, csr=ds.csr.add_self_loops())
+    return ds

@@ -1,0 +1,182 @@
+"""Training stack: metrics, Lookahead, losses, and an end-to-end fit on the
+synthetic dataset (loss decreases, accuracy beats chance), plus
+checkpoint/resume."""
+
+import dataclasses
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from maxk_tpu.train import metrics
+from maxk_tpu.train.optim import make_optimizer, lookahead
+from maxk_tpu.train.loop import Trainer, masked_loss
+from maxk_tpu.data.datasets import make_synthetic_dataset, load_dataset
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+# ---------------------------------------------------------------------------
+
+def test_micro_f1_single_label_is_accuracy():
+    logits = np.array([[2.0, 1.0], [0.0, 3.0], [1.0, 0.0]])
+    y = np.array([0, 1, 1])
+    assert metrics.compute_micro_f1(logits, y) == pytest.approx(2 / 3)
+
+
+def test_micro_f1_multilabel():
+    logits = np.array([[1.0, -1.0], [1.0, 1.0]])
+    y = np.array([[1.0, 0.0], [0.0, 1.0]])
+    # tp=2 (0,0 and 1,1), fp=1 (1,0), fn=0
+    assert metrics.compute_micro_f1(logits, y) == pytest.approx(
+        2 * (2 / 3 * 1.0) / (2 / 3 + 1.0))
+
+
+def test_rocauc_perfect_and_random():
+    y = np.array([[1.0], [0.0], [1.0], [0.0]])
+    assert metrics.rocauc(np.array([[4.], [1.], [3.], [2.]]), y) == 1.0
+    assert metrics.rocauc(np.array([[1.], [4.], [2.], [3.]]), y) == 0.0
+    # sklearn cross-check when available
+    sk = pytest.importorskip("sklearn.metrics")
+    rng = np.random.default_rng(0)
+    s = rng.normal(size=(200, 3))
+    lab = (rng.uniform(size=(200, 3)) < 0.3).astype(float)
+    ours = metrics.rocauc(s, lab)
+    ref = np.mean([sk.roc_auc_score(lab[:, t], s[:, t]) for t in range(3)])
+    assert ours == pytest.approx(ref, abs=1e-9)
+
+
+def test_accuracy_topk():
+    out = np.array([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
+    tgt = np.array([1, 2])
+    a1, a2 = metrics.accuracy(out, tgt, topk=(1, 2))
+    assert a1 == pytest.approx(0.5)
+    assert a2 == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# Lookahead
+# ---------------------------------------------------------------------------
+
+def test_lookahead_sync_semantics():
+    import optax
+    import jax
+    params = {"w": jnp.ones((3,))}
+    opt = lookahead(optax.sgd(0.1), alpha=0.5, k=2)
+    state = opt.init(params)
+    g = {"w": jnp.ones((3,))}
+    # step 1: plain sgd
+    u, state = opt.update(g, state, params)
+    p1 = optax.apply_updates(params, u)
+    np.testing.assert_allclose(np.asarray(p1["w"]), 0.9, rtol=1e-6)
+    # step 2: sync — first sync initializes slow to fast (reference
+    # general_utils.py:131-137), so params stay at the fast value.
+    u, state = opt.update(g, state, p1)
+    p2 = optax.apply_updates(p1, u)
+    np.testing.assert_allclose(np.asarray(p2["w"]), 0.8, rtol=1e-6)
+    # steps 3-4: second sync blends: slow=0.8 fast=0.6 -> 0.7
+    u, state = opt.update(g, state, p2)
+    p3 = optax.apply_updates(p2, u)
+    u, state = opt.update(g, state, p3)
+    p4 = optax.apply_updates(p3, u)
+    np.testing.assert_allclose(np.asarray(p4["w"]), 0.7, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+def test_masked_loss_only_counts_masked_nodes():
+    logits = jnp.asarray([[10.0, -10.0], [10.0, -10.0]])
+    labels = jnp.asarray([0, 1])  # node 1 is wrong
+    m_all = jnp.asarray([True, True])
+    m_first = jnp.asarray([True, False])
+    assert float(masked_loss(logits, labels, m_first, False)) < 1e-3
+    assert float(masked_loss(logits, labels, m_all, False)) > 1.0
+
+
+def test_masked_loss_multilabel_bce():
+    logits = jnp.asarray([[5.0, -5.0]])
+    labels = jnp.asarray([[1.0, 0.0]])
+    assert float(masked_loss(logits, labels, jnp.asarray([True]),
+                             True)) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _Cfg:
+    dataset: str = "synthetic"
+    model: str = "sage"
+    hidden_dim: int = 32
+    hidden_layers: int = 2
+    dropout: float = 0.2
+    norm: bool = True
+    nonlinear: str = "maxk"
+    maxk: int = 8
+    epochs: int = 25
+    w_lr: float = 0.01
+    w_weight_decay: float = 0.0
+    enable_lookahead: bool = False
+    seed: int = 97
+    selfloop: bool = False
+    path: str = "/tmp/maxk_tpu_test_run"
+    log_every: int = 10
+    eval_every: int = 5
+    save_every: int = 0
+    resume: bool = False
+    timing: bool = False
+
+
+@pytest.mark.parametrize("model", ["sage", "gcn"])
+def test_fit_learns_synthetic(model, tmp_path):
+    ds = make_synthetic_dataset(n_nodes=600, avg_degree=8.0, n_classes=5,
+                                in_size=32, seed=3)
+    cfg = _Cfg(model=model, path=str(tmp_path))
+    tr = Trainer(cfg, ds)
+    res = tr.fit()
+    assert res.history[0]["loss"] > res.history[-1]["loss"]
+    assert res.best_val > 0.5  # well above 0.2 chance
+
+
+def test_fit_multilabel_bce(tmp_path):
+    ds = make_synthetic_dataset(n_nodes=300, avg_degree=6.0, n_classes=4,
+                                in_size=16, seed=4)
+    onehot = np.eye(4, dtype=np.float32)[ds.labels]
+    ds = dataclasses.replace(ds, labels=onehot, multilabel=True)
+    cfg = _Cfg(path=str(tmp_path), epochs=15, maxk=4, hidden_dim=16)
+    tr = Trainer(cfg, ds)
+    res = tr.fit()
+    assert res.history[0]["loss"] > res.history[-1]["loss"]
+
+
+def test_checkpoint_resume(tmp_path):
+    ds = make_synthetic_dataset(n_nodes=200, avg_degree=6.0, n_classes=4,
+                                in_size=16, seed=5)
+    cfg = _Cfg(path=str(tmp_path), epochs=6, save_every=3, maxk=4,
+               hidden_dim=16, eval_every=1)
+    tr = Trainer(cfg, ds)
+    tr.fit()
+    # Resume: should pick up at epoch 6 and run 4 more.
+    cfg2 = dataclasses.replace(cfg, epochs=10, resume=True)
+    tr2 = Trainer(cfg2, ds)
+    res2 = tr2.fit()
+    assert res2.epochs_run == 4
+    assert res2.history[0]["epoch"] == 6
+
+
+def test_load_dataset_missing_npz_error(tmp_path):
+    with pytest.raises(FileNotFoundError, match="convert_dgl_dataset"):
+        load_dataset("flickr", str(tmp_path))
+
+
+def test_lookahead_end_to_end(tmp_path):
+    ds = make_synthetic_dataset(n_nodes=200, avg_degree=6.0, n_classes=4,
+                                in_size=16, seed=6)
+    cfg = _Cfg(path=str(tmp_path), epochs=10, enable_lookahead=True,
+               maxk=4, hidden_dim=16)
+    res = Trainer(cfg, ds).fit()
+    assert res.history[0]["loss"] > res.history[-1]["loss"]

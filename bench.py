@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Headline benchmark: MaxK fused SpGEMM vs the unfused scatter-add SpMM
+baseline (the cuSPARSE-analog), on one chip.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Graph: reddit from --graphs dir when the binary CSR suite is on disk
+(reference wire format, kernels/graphs/), otherwise a seeded synthetic
+power-law graph with reddit-like average degree. Protocol: dim=256, k=32
+(reference kernels/main.cu:52-54), 4 warmup + 4 timed runs per kernel
+(reference kernels/spmm_base.h:58-74), 10+10 for the baseline
+(spmm_cusparse.cu:35-51).
+"""
+
+import argparse
+import json
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--graphs", default="./graphs",
+                    help="dir with <name>.indptr/.indices binaries")
+    ap.add_argument("--graph", default="reddit.dgl")
+    ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--k", type=int, default=32)
+    ap.add_argument("--n-nodes", type=int, default=131072,
+                    help="synthetic fallback size")
+    ap.add_argument("--avg-degree", type=float, default=50.0)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from maxk_tpu.data.loaders import load_csr_binary, available_graphs, \
+        synthetic_graph
+    from maxk_tpu.ops.graph import build_tiled_graph
+    from maxk_tpu.ops.spmm import spmm, spmm_segment
+    from maxk_tpu.ops.spgemm import maxk_spgemm
+    from maxk_tpu.bench.timing import time_fn
+
+    def log(*a):
+        if args.verbose:
+            print(*a, file=sys.stderr)
+
+    names = available_graphs(args.graphs)
+    if args.graph in names or args.graph.rstrip(".dgl") in names:
+        name = args.graph if args.graph in names else args.graph.rstrip(".dgl")
+        csr = load_csr_binary(args.graphs, name)
+        log(f"loaded {name}: V={csr.n_nodes} E={csr.n_edges}")
+    else:
+        csr = synthetic_graph(args.n_nodes, args.avg_degree, seed=123)
+        log(f"synthetic graph: V={csr.n_nodes} E={csr.n_edges}")
+
+    rng = np.random.default_rng(123)  # reference seeds features with 123
+    vals = rng.uniform(0, 1, csr.n_edges).astype(np.float32)
+    csr = csr.with_values(vals)
+    x = jnp.asarray(rng.uniform(0, 1, (csr.n_nodes, args.dim))
+                    .astype(np.float32))
+
+    g = build_tiled_graph(csr)
+    gt = build_tiled_graph(csr.transpose())
+    log(f"tiles: T={g.n_tiles} R={g.row_block} C={g.edge_tile} "
+        f"pad={(g.n_tiles*g.edge_tile - csr.n_edges)/(g.n_tiles*g.edge_tile):.2%}")
+
+    nnz = csr.n_edges
+
+    # Graphs are jit ARGUMENTS (closure capture would bake them into the
+    # executable as constants, re-shipped per call on remote TPUs).
+    base_fn = jax.jit(spmm_segment)
+    t_base = time_fn(lambda: base_fn(g, x), warmup=10, runs=10)
+    log(f"baseline spmm_segment: {t_base.mean_ms:.2f} ms "
+        f"({t_base.nnz_per_s(nnz)/1e9:.2f} Gnnz/s)")
+
+    # Our tiled MXU SpMM (dense path).
+    tiled_fn = jax.jit(spmm)
+    t_tiled = time_fn(lambda: tiled_fn(g, x), warmup=4, runs=4)
+    log(f"tiled spmm: {t_tiled.mean_ms:.2f} ms "
+        f"({t_tiled.nnz_per_s(nnz)/1e9:.2f} Gnnz/s)")
+
+    # Fused MaxK SpGEMM forward (the headline kernel).
+    fused_fn = jax.jit(lambda gg, ggt, xx: maxk_spgemm(gg, ggt, xx, args.k))
+    t_fused = time_fn(lambda: fused_fn(g, gt, x), warmup=4, runs=4)
+    log(f"maxk_spgemm fwd k={args.k}: {t_fused.mean_ms:.2f} ms "
+        f"({t_fused.nnz_per_s(nnz)/1e9:.2f} Gnnz/s)")
+
+    print(json.dumps({
+        "metric": f"maxk_spgemm_fwd_nnz_per_s_k{args.k}_d{args.dim}",
+        "value": round(t_fused.nnz_per_s(nnz) / 1e9, 4),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(t_base.mean_ms / t_fused.mean_ms, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

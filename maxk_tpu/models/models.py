@@ -106,6 +106,7 @@ class SAGE(nn.Module):
     feat_drop: float = 0.5
     norm: bool = False
     nonlinear: str = "maxk"
+    compute_dtype: str = "bfloat16"   # SpMM MXU input dtype (fp32 accum)
 
     @nn.compact
     def __call__(self, graphs: GraphBundle, x, *, training: bool = False):
@@ -113,10 +114,10 @@ class SAGE(nn.Module):
         for i in range(self.num_hid_layers):
             if self.nonlinear == "maxk":
                 x = maxk(x, self.maxk)
-                x_agg = spmm(graphs.g_mean, x)
+                x_agg = spmm(graphs.g_mean, x, compute_dtype=jnp.dtype(self.compute_dtype))
             else:
                 x = nn.relu(x)
-                x_agg = spmm(graphs.g_mean, x)
+                x_agg = spmm(graphs.g_mean, x, compute_dtype=jnp.dtype(self.compute_dtype))
             h_self = nn.Dense(self.hid_size, use_bias=False,
                               kernel_init=_xavier, name=f"fc_self_{i}")(x)
             h_neigh = nn.Dense(self.hid_size, use_bias=False,
@@ -139,10 +140,11 @@ class SAGEFused(SAGE):
         for i in range(self.num_hid_layers):
             if self.nonlinear == "maxk":
                 x_agg = maxk_spgemm(graphs.g_mean, graphs.g_mean_t,
-                                    x, self.maxk)
+                                    x, self.maxk,
+                                    compute_dtype=jnp.dtype(self.compute_dtype))
             else:
                 x = nn.relu(x)
-                x_agg = spmm(graphs.g_mean, x)
+                x_agg = spmm(graphs.g_mean, x, compute_dtype=jnp.dtype(self.compute_dtype))
             h_self = nn.Dense(self.hid_size, use_bias=False,
                               kernel_init=_xavier, name=f"fc_self_{i}")(x)
             h_neigh = nn.Dense(self.hid_size, use_bias=False,
@@ -163,6 +165,7 @@ class GCN(nn.Module):
     feat_drop: float = 0.5
     norm: bool = False
     nonlinear: str = "maxk"
+    compute_dtype: str = "bfloat16"   # SpMM MXU input dtype (fp32 accum)
 
     @nn.compact
     def __call__(self, graphs: GraphBundle, x, *, training: bool = False):
@@ -174,7 +177,7 @@ class GCN(nn.Module):
             x = _nonlinear(x, self.nonlinear, self.maxk)
             x = nn.Dropout(self.feat_drop, deterministic=not training)(x)
             # dgl.nn.GraphConv(weight=None, bias=True), norm='both'
-            x = spmm(graphs.g_sym, x)
+            x = spmm(graphs.g_sym, x, compute_dtype=jnp.dtype(self.compute_dtype))
             x = x + self.param(f"gconv_bias_{i}", nn.initializers.zeros,
                                (self.hid_size,))
             if self.norm:
@@ -191,6 +194,7 @@ class GIN(nn.Module):
     feat_drop: float = 0.5
     norm: bool = False
     nonlinear: str = "maxk"
+    compute_dtype: str = "bfloat16"   # SpMM MXU input dtype (fp32 accum)
 
     @nn.compact
     def __call__(self, graphs: GraphBundle, x, *, training: bool = False):
@@ -204,7 +208,7 @@ class GIN(nn.Module):
             # dgl.nn.GINConv(learn_eps=True, no apply_func):
             # (1 + eps) * x + sum-aggregated neighbors
             eps = self.param(f"gin_eps_{i}", nn.initializers.zeros, ())
-            x = (1.0 + eps) * x + spmm(graphs.g_sum, x)
+            x = (1.0 + eps) * x + spmm(graphs.g_sum, x, compute_dtype=jnp.dtype(self.compute_dtype))
             if self.norm:
                 x = nn.LayerNorm(name=f"norm_{i}")(x)
         return nn.Dense(self.out_size, kernel_init=_xavier, name="lin_out")(x)
@@ -219,6 +223,7 @@ class GNNRes(nn.Module):
     feat_drop: float = 0.5
     norm: bool = False
     nonlinear: str = "maxk"
+    compute_dtype: str = "bfloat16"   # SpMM MXU input dtype (fp32 accum)
 
     @nn.compact
     def __call__(self, graphs: GraphBundle, x, *, training: bool = False):
@@ -227,7 +232,7 @@ class GNNRes(nn.Module):
         for i in range(self.num_hid_layers):
             x_res = nn.Dense(self.hid_size, kernel_init=_xavier,
                              name=f"res_{i}")(x)
-            x = spmm(graphs.g_sym, x)
+            x = spmm(graphs.g_sym, x, compute_dtype=jnp.dtype(self.compute_dtype))
             x = x + self.param(f"gconv_bias_{i}", nn.initializers.zeros,
                                (self.hid_size,))
             if self.norm:
@@ -252,7 +257,8 @@ _MODELS = {"sage": SAGE, "sage_fused": SAGEFused, "gcn": GCN, "gin": GIN,
 
 def build_model(name: str, in_size: int, hid_size: int, num_hid_layers: int,
                 out_size: int, maxk: int = 32, feat_drop: float = 0.5,
-                norm: bool = False, nonlinear: str = "maxk") -> nn.Module:
+                norm: bool = False, nonlinear: str = "maxk",
+                compute_dtype: str = "bfloat16") -> nn.Module:
     """Factory matching the reference driver's model switch
     (maxk_gnn_dgl.py:208-215)."""
     try:
@@ -262,4 +268,5 @@ def build_model(name: str, in_size: int, hid_size: int, num_hid_layers: int,
             f"unknown model {name!r}; choose from {sorted(_MODELS)}")
     return cls(in_size=in_size, hid_size=hid_size,
                num_hid_layers=num_hid_layers, out_size=out_size, maxk=maxk,
-               feat_drop=feat_drop, norm=norm, nonlinear=nonlinear)
+               feat_drop=feat_drop, norm=norm, nonlinear=nonlinear,
+               compute_dtype=compute_dtype)

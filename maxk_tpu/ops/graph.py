@@ -168,6 +168,10 @@ class TiledGraph:
     row_block: int = struct.field(pytree_node=False)
     edge_tile: int = struct.field(pytree_node=False)
     n_rows_padded: int = struct.field(pytree_node=False)
+    # When set (inside shard_map over a row-partitioned graph), ops first
+    # all-gather their dense/CBSR operand over this mesh axis: cols index
+    # the GLOBAL node space while block/lrow address the LOCAL row shard.
+    gather_axis: Optional[str] = struct.field(pytree_node=False, default=None)
 
     @property
     def n_tiles(self) -> int:

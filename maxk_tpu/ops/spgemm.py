@@ -45,7 +45,17 @@ def spgemm_forward_cbsr(g: TiledGraph, values: jax.Array,
 
     API parity with the reference's stateless kernel entry point
     ``maxk_cuda_kernels.spmm_maxk_forward`` (cuda_kernel_bindings.cpp:42-104).
+
+    Row-partitioned execution (g.gather_axis set): the all-gather moves the
+    COMPRESSED (V, k) values + selectors over ICI instead of the (V, D)
+    dense matrix — k*(4+4)/D*4 of the dense halo bytes. This is the
+    distributed payoff of the CBSR format (SURVEY.md section 2.4).
     """
+    if g.gather_axis is not None:
+        values = jax.lax.all_gather(values, g.gather_axis, axis=0, tiled=True)
+        selector = jax.lax.all_gather(selector, g.gather_axis, axis=0,
+                                      tiled=True)
+        g = g.replace(gather_axis=None)
     return spmm(g, cbsr_expand(values, selector, dim),
                 compute_dtype=compute_dtype)
 
@@ -63,9 +73,42 @@ def sspmm_sampled(g_t: TiledGraph, dy: jax.Array, selector: jax.Array,
     return cbsr_gather(ds, selector)
 
 
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused(k: int, compute_dtype_name: Optional[str],
+           g: TiledGraph, g_t: TiledGraph, x: jax.Array) -> jax.Array:
+    cd = None if compute_dtype_name is None else jnp.dtype(compute_dtype_name)
+    v, s = cbsr_topk(x, k)
+    return spgemm_forward_cbsr(g, v, s, x.shape[1], cd)
+
+
+def _fused_fwd(k, compute_dtype_name, g, g_t, x):
+    cd = None if compute_dtype_name is None else jnp.dtype(compute_dtype_name)
+    v, s = cbsr_topk(x, k)
+    y = spgemm_forward_cbsr(g, v, s, x.shape[1], cd)
+    return y, (s, g_t, x.shape[1])
+
+
+def _fused_bwd(k, compute_dtype_name, res, dy):
+    cd = None if compute_dtype_name is None else jnp.dtype(compute_dtype_name)
+    s, g_t, dim = res
+    g_cbsr = sspmm_sampled(g_t, dy, s, cd)
+    dx = cbsr_expand(g_cbsr, s, dim)
+    return (None, None, dx)  # no cotangents for the graph pytrees
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
 def maxk_spgemm(g: TiledGraph, g_t: TiledGraph, x: jax.Array, k: int,
                 compute_dtype: Optional[jnp.dtype] = None) -> jax.Array:
     """Fused y = A @ MaxK_k(x) with custom VJP.
+
+    Graphs are formal (non-differentiated) arguments of the custom-VJP
+    primitive — not closure captures — so the op is safe under shard_map
+    and other tracing transforms.
 
     Args:
       g:   tiled adjacency (values encode the aggregation normalization).
@@ -74,23 +117,5 @@ def maxk_spgemm(g: TiledGraph, g_t: TiledGraph, x: jax.Array, k: int,
       x:   (V, D) node features.
       k:   number of channels kept per node (1 <= k <= D).
     """
-    dim = x.shape[1]
-
-    @jax.custom_vjp
-    def _fused(x):
-        v, s = cbsr_topk(x, k)
-        return spgemm_forward_cbsr(g, v, s, dim, compute_dtype)
-
-    def _fwd(x):
-        v, s = cbsr_topk(x, k)
-        y = spgemm_forward_cbsr(g, v, s, dim, compute_dtype)
-        return y, (s,)
-
-    def _bwd(res, dy):
-        (s,) = res
-        g_cbsr = sspmm_sampled(g_t, dy, s, compute_dtype)
-        dx = cbsr_expand(g_cbsr, s, dim)
-        return (dx,)
-
-    _fused.defvjp(_fwd, _bwd)
-    return _fused(x)
+    cdname = None if compute_dtype is None else jnp.dtype(compute_dtype).name
+    return _fused(k, cdname, g, g_t, x)

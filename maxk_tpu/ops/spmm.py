@@ -87,13 +87,15 @@ def _tile_reduce(xg: jax.Array, vals: jax.Array, lrow: jax.Array,
     computed and discarded (branch-free padding).
     """
     r_ids = jnp.arange(row_block + 1, dtype=lrow.dtype)
-    p = jnp.where(lrow[None, :] == r_ids[:, None], vals[None, :], 0.0)
+    p = jnp.where(lrow[None, :] == r_ids[:, None],
+                  vals[None, :].astype(compute_dtype),
+                  jnp.zeros((), compute_dtype))
     # On TPU, f32 matmuls default to one bf16 MXU pass; when the caller
     # asks for float32 compute, request full-precision passes.
     precision = ("highest" if jnp.dtype(compute_dtype) == jnp.float32
                  else "default")
-    t = jnp.dot(p.astype(compute_dtype), xg.astype(compute_dtype),
-                preferred_element_type=jnp.float32, precision=precision)
+    t = jnp.dot(p, xg, preferred_element_type=jnp.float32,
+                precision=precision)
     return t[:row_block]
 
 
@@ -104,10 +106,13 @@ def _spmm_tiled_impl(cols, vals, lrow, block, x,
                      compute_dtype_name: str):
     compute_dtype = jnp.dtype(compute_dtype_name)
     d = x.shape[1]
+    # Cast BEFORE the gather: the HBM row-gather is the bottleneck and
+    # narrows with the dtype (measured 76 GB/s fp32 vs 130 GB/s bf16).
+    x = x.astype(compute_dtype)
 
     def step(out, tile):
         tcols, tvals, tlrow, tblk = tile
-        xg = jnp.take(x, tcols, axis=0)                        # (C, D)
+        xg = jnp.take(x, tcols, axis=0, mode="clip")           # (C, D)
         t = _tile_reduce(xg, tvals, tlrow, row_block, compute_dtype)
         off = tblk * row_block
         cur = jax.lax.dynamic_slice(out, (off, 0), (row_block, d))
@@ -132,6 +137,10 @@ def spmm(g: TiledGraph, x: jax.Array,
     """
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16 if x.dtype == jnp.float32 else x.dtype
+    if g.gather_axis is not None:
+        # Row-partitioned execution inside shard_map: fetch the full node
+        # feature space over ICI, compute only the local row shard.
+        x = jax.lax.all_gather(x, g.gather_axis, axis=0, tiled=True)
     out = _spmm_tiled_impl(g.cols, g.vals, g.lrow, g.block, x,
                            g.row_block, g.n_rows_padded,
                            jnp.dtype(compute_dtype).name)

@@ -1,0 +1,240 @@
+"""Distributed full-graph training: shard_map over a 1-D graph mesh.
+
+Parallelism layout (the new capability vs the single-GPU reference,
+SURVEY.md section 2.4):
+- adjacency + node arrays row-partitioned over the 'graph' axis,
+- model parameters replicated,
+- aggregation all-gathers features over ICI (CBSR-compressed on the MaxK
+  path — k*(val+sel) bytes/row instead of D*4),
+- gradient all-reduce falls out of differentiating shard_map with
+  replicated params (psum of per-shard cotangents).
+
+The flax models run unchanged inside shard_map: local_bundle() hands them
+per-device TiledGraph views whose ops gather internally.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.6 exposes shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from maxk_tpu.data.datasets import Dataset
+from maxk_tpu.models.models import build_model
+from maxk_tpu.parallel.mesh import make_graph_mesh, GRAPH_AXIS
+from maxk_tpu.parallel.partition import (
+    ShardedGraphBundle, shard_bundle, shard_node_array, local_bundle)
+from maxk_tpu.train import metrics as metrics_lib
+from maxk_tpu.train.loop import TrainState, TrainResults, masked_loss
+from maxk_tpu.train.optim import make_optimizer
+
+
+def _spec_like(tree, spec):
+    return jax.tree.map(lambda _: spec, tree)
+
+
+class DistTrainer:
+    """Row-partitioned full-graph trainer over a device mesh."""
+
+    def __init__(self, config, dataset: Dataset, mesh: Optional[Mesh] = None,
+                 logger=None, writer=None,
+                 row_block: Optional[int] = None,
+                 edge_tile: Optional[int] = None):
+        self.config = config
+        self.dataset = dataset
+        self.logger = logger
+        self.writer = writer
+        self.mesh = mesh if mesh is not None else \
+            make_graph_mesh(getattr(config, "n_devices", 0))
+        self.n_shards = self.mesh.devices.size
+
+        if config.model == "gnn_res" and config.norm:
+            raise NotImplementedError(
+                "distributed gnn_res BatchNorm stats sync not implemented; "
+                "use --norm off or a LayerNorm model for multi-chip runs")
+
+        self.sharded = shard_bundle(dataset.csr, self.n_shards,
+                                    row_block=row_block, edge_tile=edge_tile)
+        v_pad = self.sharded.n_nodes_padded
+
+        self.model = build_model(
+            config.model, dataset.in_size, config.hidden_dim,
+            config.hidden_layers, dataset.num_classes, maxk=config.maxk,
+            feat_drop=config.dropout, norm=config.norm,
+            nonlinear=config.nonlinear,
+            compute_dtype=getattr(config, "compute_dtype", "bfloat16"))
+        self.optimizer = make_optimizer(
+            config.w_lr, config.w_weight_decay,
+            enable_lookahead=getattr(config, "enable_lookahead", False))
+
+        row = NamedSharding(self.mesh, P(GRAPH_AXIS))
+        rep = NamedSharding(self.mesh, P())
+
+        def put_rows(arr, fill=0):
+            return jax.device_put(
+                jnp.asarray(shard_node_array(arr, v_pad, fill=fill)), row)
+
+        self.features = put_rows(dataset.features)
+        self.labels = put_rows(dataset.labels)
+        self.train_mask = put_rows(dataset.train_mask, fill=False)
+        self.graph_arrays = jax.device_put(
+            self.sharded, jax.tree.map(lambda _: row, self.sharded))
+        self._rep = rep
+        self._row = row
+
+        axis = GRAPH_AXIS
+
+        def sharded_loss(params, batch_stats, graphs_sharded, x, labels,
+                         mask, rng):
+            graphs = local_bundle(graphs_sharded, axis)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            variables = {"params": params}
+            if jax.tree_util.tree_leaves(batch_stats):
+                variables["batch_stats"] = batch_stats
+            logits = self.model.apply(variables, graphs, x,
+                                      training=True,
+                                      rngs={"dropout": rng})
+            if dataset.multilabel:
+                per = optax.sigmoid_binary_cross_entropy(
+                    logits, labels).mean(axis=-1)
+            else:
+                per = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels)
+            m = mask.astype(per.dtype)
+            num = jax.lax.psum((per * m).sum(), axis)
+            den = jax.lax.psum(m.sum(), axis)
+            return num / jnp.maximum(den, 1.0)
+
+        def sharded_logits(params, batch_stats, graphs_sharded, x):
+            graphs = local_bundle(graphs_sharded, axis)
+            variables = {"params": params}
+            if jax.tree_util.tree_leaves(batch_stats):
+                variables["batch_stats"] = batch_stats
+            return self.model.apply(variables, graphs, x, training=False)
+
+        gspec = _spec_like(self.sharded, P(GRAPH_AXIS))
+        bspec_of = lambda bs: _spec_like(bs, P())
+
+        def make_step():
+            def step(state, graphs_sharded, x, labels, mask, rng):
+                loss_fn = _shard_map(
+                    sharded_loss, mesh=self.mesh,
+                    in_specs=(bspec_of(state.params),
+                              bspec_of(state.batch_stats),
+                              gspec, P(GRAPH_AXIS), P(GRAPH_AXIS),
+                              P(GRAPH_AXIS), P()),
+                    out_specs=P(),
+                    check_vma=False)
+                loss, grads = jax.value_and_grad(
+                    lambda p: loss_fn(p, state.batch_stats, graphs_sharded,
+                                      x, labels, mask, rng))(state.params)
+                updates, opt_state = self.optimizer.update(
+                    grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                return state.replace(params=params, opt_state=opt_state,
+                                     epoch=state.epoch + 1), loss
+            return jax.jit(step, donate_argnums=(0,))
+
+        def make_logits():
+            def logits_fn(state, graphs_sharded, x):
+                f = _shard_map(
+                    sharded_logits, mesh=self.mesh,
+                    in_specs=(bspec_of(state.params),
+                              bspec_of(state.batch_stats),
+                              gspec, P(GRAPH_AXIS)),
+                    out_specs=P(GRAPH_AXIS),
+                    check_vma=False)
+                return f(state.params, state.batch_stats, graphs_sharded, x)
+            return jax.jit(logits_fn)
+
+        self._make_step = make_step
+        self._make_logits = make_logits
+        self._jit_step = None
+        self._jit_logits = None
+
+    # -- state -----------------------------------------------------------
+    # Parameter shapes depend only on feature dims, so init runs once on a
+    # single-device (unsharded) graph view and the result is replicated.
+
+    def init_state_concrete(self, graphs_single, features_single,
+                            seed: Optional[int] = None) -> TrainState:
+        seed = self.config.seed if seed is None else seed
+        rng = jax.random.PRNGKey(seed)
+        variables = self.model.init({"params": rng, "dropout": rng},
+                                    graphs_single, features_single,
+                                    training=False)
+        params = jax.device_put(variables["params"], self._rep)
+        batch_stats = jax.device_put(
+            variables.get("batch_stats", FrozenDict()), self._rep)
+        return TrainState(params=params, batch_stats=batch_stats,
+                          opt_state=jax.device_put(
+                              self.optimizer.init(variables["params"]),
+                              self._rep),
+                          epoch=jnp.zeros((), jnp.int32))
+
+    # -- API ----------------------------------------------------------------
+
+    def train_step(self, state: TrainState, rng):
+        if self._jit_step is None:
+            self._jit_step = self._make_step()
+        return self._jit_step(state, self.graph_arrays, self.features,
+                              self.labels, self.train_mask, rng)
+
+    def eval_logits(self, state: TrainState):
+        if self._jit_logits is None:
+            self._jit_logits = self._make_logits()
+        out = self._jit_logits(state, self.graph_arrays, self.features)
+        return np.asarray(out)[: self.dataset.csr.n_nodes]
+
+    def evaluate_masks(self, state: TrainState):
+        logits = self.eval_logits(state)
+        ds = self.dataset
+        return tuple(
+            metrics_lib.evaluate_logits(logits, ds.labels, m, ds.metric)
+            for m in (ds.train_mask, ds.val_mask, ds.test_mask))
+
+    def fit(self, state: Optional[TrainState] = None,
+            init_graphs=None, init_features=None) -> TrainResults:
+        cfg = self.config
+        if state is None:
+            from maxk_tpu.models.models import GraphBundle
+            if init_graphs is None:
+                init_graphs = GraphBundle.from_csr(self.dataset.csr)
+                init_features = jnp.asarray(self.dataset.features)
+            state = self.init_state_concrete(init_graphs, init_features)
+
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        best = {"val": 0.0, "test": 0.0, "epoch": -1}
+        history = []
+        for epoch in range(cfg.epochs):
+            rng, step_rng = jax.random.split(rng)
+            state, loss = self.train_step(state, step_rng)
+            if (epoch % max(1, getattr(cfg, "eval_every", 1))) == 0 \
+                    or epoch == cfg.epochs - 1:
+                train_acc, val_acc, test_acc = self.evaluate_masks(state)
+                if val_acc > best["val"]:
+                    best.update(val=val_acc, test=test_acc, epoch=epoch)
+                history.append(dict(epoch=epoch, loss=float(loss),
+                                    train=train_acc, val=val_acc,
+                                    test=test_acc))
+                if self.logger:
+                    self.logger.info(
+                        f"[dist x{self.n_shards}] Epoch {epoch:04d} | "
+                        f"Loss {float(loss):.4f} | Val {val_acc:.4f} | "
+                        f"Test {test_acc:.4f}")
+        _, _, final_test = self.evaluate_masks(state)
+        return TrainResults(best_val=best["val"], best_test=best["test"],
+                            final_test=final_test, best_epoch=best["epoch"],
+                            epochs_run=cfg.epochs, history=history)

@@ -72,7 +72,8 @@ class Trainer:
             config.model, dataset.in_size, config.hidden_dim,
             config.hidden_layers, dataset.num_classes, maxk=config.maxk,
             feat_drop=config.dropout, norm=config.norm,
-            nonlinear=config.nonlinear)
+            nonlinear=config.nonlinear,
+            compute_dtype=getattr(config, "compute_dtype", "bfloat16"))
         self.optimizer = make_optimizer(
             config.w_lr, config.w_weight_decay,
             enable_lookahead=getattr(config, "enable_lookahead", False))
@@ -81,8 +82,19 @@ class Trainer:
         self.labels = jnp.asarray(dataset.labels)
         self.train_mask = jnp.asarray(dataset.train_mask)
 
-        self._jit_step = jax.jit(self._train_step)
-        self._jit_logits = jax.jit(self._eval_logits)
+        # Graphs/features/labels enter through jit arguments, never through
+        # closures: closure capture bakes them into the executable as
+        # constants, which the remote-TPU path re-ships on every call
+        # (measured 273x slowdown).
+        self._jit_step_inner = jax.jit(self._train_step)
+        self._jit_logits_inner = jax.jit(self._eval_logits)
+
+    def _jit_step(self, state, rng):
+        return self._jit_step_inner(state, rng, self.graphs, self.features,
+                                    self.labels, self.train_mask)
+
+    def _jit_logits(self, state):
+        return self._jit_logits_inner(state, self.graphs, self.features)
 
     # -- state ---------------------------------------------------------------
 
@@ -103,7 +115,7 @@ class Trainer:
 
     # -- steps ----------------------------------------------------------------
 
-    def _apply(self, params, batch_stats, x, training, rng):
+    def _apply(self, params, batch_stats, graphs, x, training, rng):
         variables = {"params": params}
         has_bn = bool(jax.tree_util.tree_leaves(batch_stats))
         if has_bn:
@@ -112,17 +124,18 @@ class Trainer:
         rngs = {"dropout": rng} if training else None
         if training and has_bn:
             out, mutated = self.model.apply(
-                variables, self.graphs, x, rngs=rngs,
+                variables, graphs, x, rngs=rngs,
                 mutable=["batch_stats"], **kwargs)
             return out, mutated["batch_stats"]
-        out = self.model.apply(variables, self.graphs, x, rngs=rngs, **kwargs)
+        out = self.model.apply(variables, graphs, x, rngs=rngs, **kwargs)
         return out, batch_stats
 
-    def _train_step(self, state: TrainState, rng):
+    def _train_step(self, state: TrainState, rng, graphs, features, labels,
+                    train_mask):
         def loss_fn(params):
             logits, new_bs = self._apply(params, state.batch_stats,
-                                         self.features, True, rng)
-            loss = masked_loss(logits, self.labels, self.train_mask,
+                                         graphs, features, True, rng)
+            loss = masked_loss(logits, labels, train_mask,
                                self.dataset.multilabel)
             return loss, new_bs
 
@@ -135,9 +148,9 @@ class Trainer:
                              opt_state=opt_state,
                              epoch=state.epoch + 1), loss
 
-    def _eval_logits(self, state: TrainState):
+    def _eval_logits(self, state: TrainState, graphs, features):
         logits, _ = self._apply(state.params, state.batch_stats,
-                                self.features, False, None)
+                                graphs, features, False, None)
         return logits
 
     def evaluate_masks(self, state: TrainState):

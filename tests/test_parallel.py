@@ -1,0 +1,174 @@
+"""Multi-chip row-partitioned execution on the 8-device virtual CPU mesh:
+sharded SpMM == single-device SpMM, CBSR-compressed gather path, and a
+distributed training step matching the single-device trainer exactly."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from maxk_tpu.models.models import GraphBundle
+from maxk_tpu.ops.graph import build_tiled_graph
+from maxk_tpu.ops.spmm import spmm, spmm_dense_oracle
+from maxk_tpu.ops.spgemm import maxk_spgemm
+from maxk_tpu.ops.maxk import maxk
+from maxk_tpu.parallel.mesh import make_graph_mesh, GRAPH_AXIS
+from maxk_tpu.parallel.partition import (
+    shard_graph, shard_bundle, shard_node_array, local_bundle)
+from maxk_tpu.parallel.dist_train import DistTrainer
+from maxk_tpu.data.datasets import make_synthetic_dataset
+from maxk_tpu.train.loop import Trainer
+
+from conftest import random_graph
+
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_graph_mesh(N_DEV)
+
+
+def test_sharded_spmm_matches_oracle(mesh):
+    csr = random_graph(200, 10.0, seed=21)
+    x = np.random.default_rng(0).normal(size=(200, 32)).astype(np.float32)
+    ref = spmm_dense_oracle(csr, x)
+
+    st = shard_graph(csr, N_DEV, row_block=8, edge_tile=32)
+    x_pad = jnp.asarray(shard_node_array(x, st.n_nodes_padded))
+
+    def f(tiles, xs):
+        g = tiles.local(GRAPH_AXIS)
+        return spmm(g, xs, compute_dtype=jnp.float32)
+
+    out = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(GRAPH_AXIS), st), P(GRAPH_AXIS)),
+        out_specs=P(GRAPH_AXIS), check_vma=False))(st, x_pad)
+    np.testing.assert_allclose(np.asarray(out)[:200], ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_maxk_spgemm_forward_and_grad(mesh):
+    """Fused MaxK SpGEMM under shard_map (CBSR-compressed all-gather)
+    matches the single-device fused op in both forward and gradient."""
+    csr = random_graph(160, 8.0, seed=22)
+    d, k = 32, 8
+    x = np.random.default_rng(1).normal(size=(160, d)).astype(np.float32)
+
+    g1 = build_tiled_graph(csr, row_block=8, edge_tile=32)
+    gt1 = build_tiled_graph(csr.transpose(), row_block=8, edge_tile=32)
+    y_ref = maxk_spgemm(g1, gt1, jnp.asarray(x), k,
+                        compute_dtype=jnp.float32)
+    w = np.random.default_rng(2).normal(size=y_ref.shape).astype(np.float32)
+    grad_ref = jax.grad(lambda xx: jnp.sum(jnp.asarray(w) * maxk_spgemm(
+        g1, gt1, xx, k, compute_dtype=jnp.float32)))(jnp.asarray(x))
+
+    bund = shard_bundle(csr, N_DEV, row_block=8, edge_tile=32)
+    v_pad = bund.n_nodes_padded
+    x_pad = jnp.asarray(shard_node_array(x, v_pad))
+    w_pad = jnp.asarray(shard_node_array(w, v_pad))
+
+    def loss(bundle, xs, ws):
+        graphs = local_bundle(bundle, GRAPH_AXIS)
+        y = maxk_spgemm(graphs.g_mean.replace(
+            vals=graphs.g_mean.vals), graphs.g_mean_t, xs, k,
+            compute_dtype=jnp.float32)
+        return jax.lax.psum(jnp.sum(ws * y), GRAPH_AXIS)
+
+    # Use the sum-aggregation graphs to match the single-device setup.
+    def loss_sum(bundle, xs, ws):
+        graphs = local_bundle(bundle, GRAPH_AXIS)
+        y = maxk_spgemm(graphs.g_sum, graphs.g_sum_t, xs, k,
+                        compute_dtype=jnp.float32)
+        return jax.lax.psum(jnp.sum(ws * y), GRAPH_AXIS)
+
+    smapped = jax.shard_map(
+        loss_sum, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(GRAPH_AXIS), bund),
+                  P(GRAPH_AXIS), P(GRAPH_AXIS)),
+        out_specs=P(), check_vma=False)
+    val = jax.jit(smapped)(bund, x_pad, w_pad)
+    grad = jax.jit(jax.grad(lambda xs: smapped(bund, xs, w_pad)))(x_pad)
+
+    ref_val = float(jnp.sum(jnp.asarray(w) * y_ref))
+    assert float(val) == pytest.approx(ref_val, rel=1e-4)
+    np.testing.assert_allclose(np.asarray(grad)[:160], np.asarray(grad_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@dataclasses.dataclass
+class _Cfg:
+    dataset: str = "synthetic"
+    model: str = "sage"
+    hidden_dim: int = 16
+    hidden_layers: int = 2
+    dropout: float = 0.0      # exact single-vs-multi comparison
+    norm: bool = False
+    nonlinear: str = "maxk"
+    maxk: int = 4
+    epochs: int = 4
+    w_lr: float = 0.01
+    w_weight_decay: float = 0.0
+    enable_lookahead: bool = False
+    seed: int = 97
+    selfloop: bool = False
+    path: str = "/tmp/maxk_dist_test"
+    log_every: int = 1
+    eval_every: int = 1
+    save_every: int = 0
+    resume: bool = False
+    timing: bool = False
+    n_devices: int = N_DEV
+    compute_dtype: str = "float32"  # exact single-vs-multi comparison
+
+
+@pytest.mark.parametrize("model", ["sage", "gcn", "gin"])
+def test_dist_step_matches_single_device(mesh, model, tmp_path):
+    """With dropout=0 the distributed loss sequence must equal the
+    single-device trainer's losses (same init seed)."""
+    ds = make_synthetic_dataset(n_nodes=200, avg_degree=6.0, n_classes=4,
+                                in_size=12, seed=30)
+    cfg = _Cfg(model=model, path=str(tmp_path))
+
+    # Single device (float32 compute for exactness on CPU anyway)
+    tr1 = Trainer(cfg, ds)
+    st1 = tr1.init_state()
+    losses1 = []
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    for _ in range(3):
+        rng, k1 = jax.random.split(rng)
+        st1, l1 = tr1._jit_step(st1, k1)
+        losses1.append(float(l1))
+
+    # Distributed
+    tr8 = DistTrainer(cfg, ds, mesh=mesh, row_block=8, edge_tile=32)
+    st8 = tr8.init_state_concrete(tr1.graphs, tr1.features)
+    losses8 = []
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    for _ in range(3):
+        rng, k1 = jax.random.split(rng)
+        st8, l8 = tr8.train_step(st8, k1)
+        losses8.append(float(l8))
+
+    np.testing.assert_allclose(losses8, losses1, rtol=5e-3, atol=5e-4)
+
+    # Eval logits agree too (atol covers bf16 accumulation-order noise
+    # between the different single/multi-device tile layouts).
+    logits1 = np.asarray(tr1._jit_logits(st1))
+    logits8 = tr8.eval_logits(st8)
+    np.testing.assert_allclose(logits8, logits1, rtol=5e-2, atol=2e-2)
+
+
+def test_dist_fit_learns(mesh, tmp_path):
+    ds = make_synthetic_dataset(n_nodes=240, avg_degree=8.0, n_classes=4,
+                                in_size=16, seed=31)
+    cfg = _Cfg(path=str(tmp_path), epochs=12, dropout=0.1)
+    res = DistTrainer(cfg, ds, mesh=mesh, row_block=8,
+                      edge_tile=32).fit()
+    assert res.history[0]["loss"] > res.history[-1]["loss"]
+    assert res.best_val > 0.5

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Kernel benchmark CLI — the TPU replica of the reference's benchmark
+drivers (`./maxk_kernel_test [graph]`, reference kernels/main.cu:187-222,
+and `python main_runner_direct.py [graph]`, main_runner_direct.py:215-307).
+
+Usage:
+  python kernel_bench.py                      # all graphs in --graphs dir,
+                                              # or synthetic suite if absent
+  python kernel_bench.py reddit.dgl           # one graph
+  python kernel_bench.py --json out.json      # export results
+
+Graphs are the reference wire format: <name>.indptr/<name>.indices int32
+binaries (kernels/util.h:8-24).
+"""
+
+import argparse
+import json
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("graph", nargs="?", default=None,
+                    help="single graph name (default: traverse all)")
+    ap.add_argument("--graphs", default="./graphs",
+                    help="dir with <name>.indptr/.indices binaries")
+    ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--ks", type=int, nargs="+", default=[16, 32, 64])
+    ap.add_argument("--no-validate", action="store_true")
+    ap.add_argument("--no-gnna", action="store_true")
+    ap.add_argument("--json", default=None, help="write results JSON here")
+    args = ap.parse_args()
+
+    from maxk_tpu.data.loaders import load_csr_binary, available_graphs
+    from maxk_tpu.bench.harness import (benchmark_graph, analyze_speedups,
+                                        synthetic_suite)
+
+    if args.graph:
+        stem = args.graph.removesuffix(".indptr")
+        graphs = [(stem, load_csr_binary(args.graphs, stem))]
+    else:
+        names = available_graphs(args.graphs)
+        if names:
+            graphs = [(n, load_csr_binary(args.graphs, n)) for n in names]
+        else:
+            print(f"# no binary graphs under {args.graphs}; "
+                  f"using synthetic suite", file=sys.stderr)
+            graphs = synthetic_suite()
+
+    print("num graph dim_origin dim_k kernel time(ms)")
+    results = []
+    for name, csr in graphs:
+        print(f"# {name}: V={csr.n_nodes} E={csr.n_edges} "
+              f"avg_deg={csr.avg_degree:.1f}", file=sys.stderr)
+        results.append(benchmark_graph(
+            csr, name, dim=args.dim, ks=tuple(args.ks),
+            validate=not args.no_validate, run_gnna=not args.no_gnna))
+
+    summary = analyze_speedups(results)
+
+    failed = [r.graph for r in results
+              if r.validation and not r.validation["passed"]]
+    if failed:
+        print(f"\nVALIDATION FAILURES: {failed}", file=sys.stderr)
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(dict(results=[r.as_json() for r in results],
+                           geomean_speedups=summary), f, indent=2)
+        print(f"# wrote {args.json}", file=sys.stderr)
+
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

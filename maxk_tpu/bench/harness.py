@@ -1,0 +1,221 @@
+"""Kernel benchmark harness: the TPU replica of the reference benchmark
+stack (C++ CLI kernels/main.cu:50-222 and Python driver
+main_runner_direct.py:19-213).
+
+Per graph, at dim_origin=256 (reference kernels/main.cu:52):
+  - library-baseline SpMM on the dense input, 10 warmup + 10 timed runs
+    (the role cuSPARSE plays in the reference, spmm_cusparse.cu:35-51);
+  - unweighted neighbor-sum SpMM (the GNNAdvisor SAG-kernel analog,
+    reference kernels/spmm_gnna.cu:60-140 — pure neighbor sum, ignores
+    edge values);
+  - per k in {16, 32, 64} (main.cu:53-54,113-116): TopK->CBSR compaction
+    timing (the maxk_kernel.cu micro-benchmark), fused MaxK SpGEMM forward
+    and sampled backward SSpMM, 4 warmup + 4 timed runs each
+    (spmm_base.h:58-74);
+  - numerical validation at the first k: forward output vs the
+    segment-sum oracle on the densified CBSR input, mean abs err < 1e-3
+    with per-element flags at 0.1 (main.cu:19-48), plus backward vs
+    oracle (a check the reference never automates);
+  - stdout lines `num graph dim_origin dim_k kernel time(ms)`
+    (main.cu:109,165-172).
+
+Speedup analysis mirrors main_runner_direct.py:138-213: graphs with
+avg degree > 50, per-k geomean speedup vs the baseline, compared against
+the paper's published A100 table.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+
+from maxk_tpu.ops.graph import CSRGraph, build_tiled_graph
+from maxk_tpu.bench.timing import time_fn, TimingResult
+
+# Published A100 speedups vs cuSPARSE for avg-degree>50 graphs
+# (reference README.md:136 keys them k=8/16/32/64; the analysis script
+# re-keys the same numbers as k=16/32/64 — main_runner_direct.py:203).
+PAPER_SPEEDUPS = {16: 6.93, 32: 5.39, 64: 2.55}
+
+DIM_ORIGIN = 256           # reference kernels/main.cu:52
+DEFAULT_KS = (16, 32, 64)  # reference kernels/main.cu:53-54,113-116
+
+
+@dataclasses.dataclass
+class GraphBenchResult:
+    graph: str
+    n_nodes: int
+    n_edges: int
+    avg_degree: float
+    dim: int
+    baseline_ms: float                 # library SpMM (cuSPARSE analog)
+    gnna_ms: Optional[float]           # unweighted-sum SpMM (GNNA analog)
+    topk_ms: dict                      # k -> ms
+    forward_ms: dict                   # k -> ms
+    backward_ms: dict                  # k -> ms
+    validation: Optional[dict]         # {passed, mean_err, max_err, k}
+
+    def speedup(self, k: int) -> Optional[float]:
+        f = self.forward_ms.get(k)
+        return self.baseline_ms / f if f else None
+
+    def as_json(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["speedups"] = {k: self.speedup(k) for k in self.forward_ms}
+        return d
+
+
+def _validate(g, g_t, x, k, dim) -> dict:
+    """Forward/backward numerical validation against oracles.
+
+    Tolerances per reference kernels/main.cu:32-45: element flagged at
+    abs err > 0.1; pass iff mean abs err < 1e-3. Validation runs in fp32
+    compute (the reference kernels are fp32).
+    """
+    import jax
+    import jax.numpy as jnp
+    from maxk_tpu.ops.cbsr import cbsr_topk, cbsr_expand
+    from maxk_tpu.ops.spmm import spmm_segment
+    from maxk_tpu.ops.spgemm import spgemm_forward_cbsr, sspmm_sampled
+
+    xj = jnp.asarray(x)
+    v, s = cbsr_topk(xj, k)
+    y = spgemm_forward_cbsr(g, v, s, dim, compute_dtype=jnp.float32)
+    y_ref = spmm_segment(g, cbsr_expand(v, s, dim))
+    err = np.abs(np.asarray(y, np.float64) - np.asarray(y_ref, np.float64))
+    scale = max(1.0, float(np.abs(np.asarray(y_ref)).mean()))
+
+    dy = jnp.asarray(
+        np.random.default_rng(7).uniform(size=y.shape).astype(np.float32))
+    gc = sspmm_sampled(g_t, dy, s, compute_dtype=jnp.float32)
+    from maxk_tpu.ops.cbsr import cbsr_gather
+    gc_ref = cbsr_gather(spmm_segment(g_t, dy), s)
+    berr = np.abs(np.asarray(gc, np.float64) - np.asarray(gc_ref, np.float64))
+
+    mean_err = float(err.mean() / scale)
+    max_err = float(err.max() / scale)
+    bwd_mean_err = float(berr.mean() / scale)
+    return dict(k=k, mean_err=mean_err, max_err=max_err,
+                n_flagged=int((err / scale > 0.1).sum()),
+                bwd_mean_err=bwd_mean_err,
+                passed=bool(mean_err < 1e-3 and bwd_mean_err < 1e-3))
+
+
+def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
+                    ks: Sequence[int] = DEFAULT_KS, validate: bool = True,
+                    run_gnna: bool = True, seed: int = 123,
+                    log=print) -> GraphBenchResult:
+    """Benchmark one graph, reference protocol (kernels/main.cu:50-185)."""
+    import jax
+    import jax.numpy as jnp
+    from maxk_tpu.ops.spmm import spmm
+    from maxk_tpu.ops.cbsr import cbsr_topk
+    from maxk_tpu.ops.spgemm import maxk_spgemm, spgemm_forward_cbsr, \
+        sspmm_sampled
+
+    rng = np.random.default_rng(seed)  # reference seeds 123 (main.cu:75)
+    vals = rng.uniform(0.0, 1.0, size=csr.n_edges).astype(np.float32)
+    csr = csr.with_values(vals)
+    x = rng.uniform(0.0, 1.0, size=(csr.n_nodes, dim)).astype(np.float32)
+
+    g = build_tiled_graph(csr)
+    g_t = build_tiled_graph(csr.transpose())
+    xj = jnp.asarray(x)
+
+    # Baseline: library SpMM on the dense input, 10+10 protocol.
+    base = time_fn(lambda: spmm(g, xj), warmup=10, runs=10)
+    log(f"0 {name} {dim} {dim} baseline_spmm {base.mean_ms:.4f}")
+
+    gnna_ms = None
+    if run_gnna:
+        g1 = build_tiled_graph(csr.with_values(
+            np.ones(csr.n_edges, np.float32)))
+        gnna = time_fn(lambda: spmm(g1, xj), warmup=4, runs=4)
+        gnna_ms = gnna.mean_ms
+        log(f"0 {name} {dim} {dim} gnna_sum {gnna.mean_ms:.4f}")
+
+    validation = None
+    topk_ms, fwd_ms, bwd_ms = {}, {}, {}
+    for n, k in enumerate(ks):
+        if validate and n == 0:
+            validation = _validate(g, g_t, x, k, dim)
+            status = "pass" if validation["passed"] else "FAIL"
+            log(f"# validation k={k}: mean_err={validation['mean_err']:.2e} "
+                f"max_err={validation['max_err']:.2e} "
+                f"bwd_mean_err={validation['bwd_mean_err']:.2e} [{status}]")
+
+        tk = time_fn(lambda: cbsr_topk(xj, k), warmup=4, runs=4)
+        topk_ms[k] = tk.mean_ms
+        log(f"{n} {name} {dim} {k} topk {tk.mean_ms:.4f}")
+
+        v, s = jax.block_until_ready(cbsr_topk(xj, k))
+        fw = time_fn(lambda: spgemm_forward_cbsr(g, v, s, dim),
+                     warmup=4, runs=4)
+        fwd_ms[k] = fw.mean_ms
+        log(f"{n} {name} {dim} {k} maxk {fw.mean_ms:.4f}")
+
+        dy = jnp.asarray(rng.uniform(size=(csr.n_nodes, dim))
+                         .astype(np.float32))
+        bw = time_fn(lambda: sspmm_sampled(g_t, dy, s), warmup=4, runs=4)
+        bwd_ms[k] = bw.mean_ms
+        log(f"{n} {name} {dim} {k} maxk_backward {bw.mean_ms:.4f}")
+
+    return GraphBenchResult(
+        graph=name, n_nodes=csr.n_nodes, n_edges=csr.n_edges,
+        avg_degree=csr.avg_degree, dim=dim, baseline_ms=base.mean_ms,
+        gnna_ms=gnna_ms, topk_ms=topk_ms, forward_ms=fwd_ms,
+        backward_ms=bwd_ms, validation=validation)
+
+
+def analyze_speedups(results: Sequence[GraphBenchResult],
+                     min_degree: float = 50.0, log=print) -> dict:
+    """Geomean per-k speedup over the baseline for avg-degree>min_degree
+    graphs, vs the paper's published table
+    (reference main_runner_direct.py:138-213)."""
+    high = [r for r in results if r.avg_degree > min_degree and r.forward_ms]
+    log(f"\nSpeedup analysis: {len(high)}/{len(results)} graphs with "
+        f"avg degree > {min_degree:g}")
+    if not high:
+        return {}
+
+    ks = sorted({k for r in high for k in r.forward_ms})
+    header = "graph            | avg_deg | " + " | ".join(
+        f"k={k:<4d}" for k in ks)
+    log(header)
+    log("-" * len(header))
+    per_k = {k: [] for k in ks}
+    for r in high:
+        cells = []
+        for k in ks:
+            s = r.speedup(k)
+            cells.append(f"{s:6.2f}" if s else "   -  ")
+            if s:
+                per_k[k].append(s)
+        log(f"{r.graph:<16s} | {r.avg_degree:7.1f} | " + " | ".join(cells))
+
+    summary = {}
+    log("-" * len(header))
+    for k in ks:
+        if per_k[k]:
+            gm = math.exp(sum(math.log(s) for s in per_k[k]) / len(per_k[k]))
+            summary[k] = gm
+            paper = PAPER_SPEEDUPS.get(k)
+            extra = f"  (paper A100 vs cuSPARSE: {paper:.2f}x)" if paper else ""
+            log(f"geomean speedup k={k}: {gm:.2f}x{extra}")
+    return summary
+
+
+def synthetic_suite(seed: int = 123) -> list[tuple[str, "CSRGraph"]]:
+    """Stand-in suite when the 24-graph binary dumps are not on disk:
+    seeded power-law graphs spanning the reference suite's degree range."""
+    from maxk_tpu.data.loaders import synthetic_graph
+    specs = [
+        ("syn_small_d8", 8192, 8.0), ("syn_small_d64", 8192, 64.0),
+        ("syn_mid_d16", 65536, 16.0), ("syn_mid_d64", 65536, 64.0),
+        ("syn_mid_d128", 65536, 128.0), ("syn_big_d32", 262144, 32.0),
+        ("syn_big_d100", 131072, 100.0),
+    ]
+    return [(n, synthetic_graph(v, d, seed=seed)) for n, v, d in specs]

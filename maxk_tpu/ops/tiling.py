@@ -71,11 +71,16 @@ def choose_tile_sizes(n_nodes: int, n_edges: int,
     enough to amortize gather/dispatch overhead and keep the MXU busy.
     """
     avg_degree = max(1.0, n_edges / max(1, n_nodes))
-    # Rows per 2048-edge window if degrees were uniform.
-    span = 2048.0 / avg_degree
-    row_block = 1 << max(3, min(9, int(math.ceil(math.log2(max(8.0, span))))))
-    # Edge tile: at least one row block's worth of average edges, clamped.
-    edge_tile = 1 << max(9, min(13, int(math.ceil(math.log2(row_block * avg_degree)))))
+    # Measured on v5e (synthetic power-law sweep, see BENCH notes):
+    # C=8192 amortizes per-step dispatch against the HBM gather; smaller
+    # tiles leave 30-40% on the table. R sized so a row block's expected
+    # edges fill ~half a tile (padding waste vs MXU one-hot cost balance).
+    # Small graphs scale both down so a tile never dwarfs the graph.
+    edge_tile = 1 << max(9, min(13, int(math.ceil(math.log2(max(
+        512.0, n_edges / 8.0))))))
+    span = 2.0 * edge_tile / avg_degree
+    row_block = 1 << max(5, min(11, int(math.ceil(math.log2(max(
+        32.0, min(span, n_nodes)))))))
     return int(row_block), int(edge_tile)
 
 
@@ -113,11 +118,17 @@ def build_tiles(indptr: np.ndarray,
         n_tiles = 1
         tiles_per_block = tiles_per_block.copy()
         tiles_per_block[0] = 1
+    # Round the tile count up to a multiple of the gather-group size
+    # (ops.spmm groups ~64k edge slots per HBM gather): trailing all-padding
+    # tiles accumulate zeros into the last block's garbage row, keeping the
+    # tile->block map monotone.
+    group = max(1, min(16, 65536 // C))
+    n_tiles = -(-n_tiles // group) * group
 
     cols = np.zeros((n_tiles, C), dtype=np.int32)
     vals = np.zeros((n_tiles, C), dtype=np.float32)
     lrow = np.full((n_tiles, C), R, dtype=np.int32)
-    block = np.zeros((n_tiles,), dtype=np.int32)
+    block = np.full((n_tiles,), n_blocks - 1, dtype=np.int32)
 
     # Global row id per edge.
     degrees = np.diff(indptr)

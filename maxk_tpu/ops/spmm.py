@@ -85,18 +85,65 @@ def _tile_reduce(xg: jax.Array, vals: jax.Array, lrow: jax.Array,
     Builds P[r, e] = vals[e] * 1{lrow[e] == r} and computes P @ xg on the
     MXU. Row index row_block is the garbage row for padding slots; it is
     computed and discarded (branch-free padding).
+
+    xg may be a tuple of column-half operands (the packed-gather path);
+    the one-hot P is built once and shared across the halves, and the
+    halves concatenate back to the (row_block, D) tile.
     """
     r_ids = jnp.arange(row_block + 1, dtype=lrow.dtype)
+    halves = xg if isinstance(xg, tuple) else (xg,)
     p = jnp.where(lrow[None, :] == r_ids[:, None],
-                  vals[None, :].astype(compute_dtype),
-                  jnp.zeros((), compute_dtype))
+                  vals[None, :].astype(halves[0].dtype),
+                  jnp.zeros((), halves[0].dtype))
     # On TPU, f32 matmuls default to one bf16 MXU pass; when the caller
-    # asks for float32 compute, request full-precision passes.
+    # asks for float32 compute, request full-precision passes. The packed
+    # paths carry exactly-bf16-valued f32, so the single pass is exact.
     precision = ("highest" if jnp.dtype(compute_dtype) == jnp.float32
                  else "default")
-    t = jnp.dot(p, xg, preferred_element_type=jnp.float32,
-                precision=precision)
+    ts = [jnp.dot(p, h, preferred_element_type=jnp.float32,
+                  precision=precision) for h in halves]
+    t = ts[0] if len(ts) == 1 else jnp.concatenate(ts, axis=1)
     return t[:row_block]
+
+
+def _pack_bf16_pairs(x: jax.Array) -> jax.Array:
+    """(V, D) -> (V, D/2) int32, lane i holding bf16 bits of columns
+    (i, i+D/2) in (low, high) halves."""
+    d = x.shape[1]
+    bits = jax.lax.bitcast_convert_type(
+        x.astype(jnp.bfloat16), jnp.int16).astype(jnp.int32)
+    lo, hi = bits[:, : d // 2], bits[:, d // 2:]
+    return (lo & 0xFFFF) | (hi << 16)
+
+
+def _unpack_bf16_pairs(xp: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Inverse of _pack_bf16_pairs, as two f32 column-half operands.
+
+    A bf16 value's f32 bit pattern is its 16 bits shifted into the top
+    half, so both halves unpack with one shift/mask + bitcast — pure
+    lane-local VPU ops, no cross-lane relayout (the naive
+    int32->bf16 bitcast appends a minor dim of 2, which forces a
+    pathological (.., 128, 2) retiling — measured +23 ms at E=13M).
+    """
+    f_lo = jax.lax.bitcast_convert_type(xp << 16, jnp.float32)
+    f_hi = jax.lax.bitcast_convert_type(xp & jnp.int32(-65536), jnp.float32)
+    return f_lo, f_hi
+
+
+def _pack_int8_quads(x8: jax.Array) -> jax.Array:
+    """(V, D) int8 -> (V, D/4) int32; lane i holds columns
+    (i, i+D/4, i+2D/4, i+3D/4) little-endian."""
+    d = x8.shape[1]
+    q = x8.astype(jnp.int32) & 0xFF
+    qs = [q[:, j * (d // 4):(j + 1) * (d // 4)] << (8 * j) for j in range(4)]
+    return qs[0] | qs[1] | qs[2] | qs[3]
+
+
+def _unpack_int8_quads(xp: jax.Array) -> tuple[jax.Array, ...]:
+    """Inverse of _pack_int8_quads, as four f32 column-quarter operands
+    (sign-extended via arithmetic shifts — lane-local only)."""
+    return tuple(
+        ((xp << (24 - 8 * j)) >> 24).astype(jnp.float32) for j in range(4))
 
 
 def _group_count(n_tiles: int, edge_tile: int, target_edges: int = 65536) -> int:
@@ -118,13 +165,33 @@ def _group_count(n_tiles: int, edge_tile: int, target_edges: int = 65536) -> int
 def _spmm_tiled_impl(cols, vals, lrow, block, x,
                      row_block: int, n_rows_padded: int,
                      compute_dtype_name: str, group: int):
-    compute_dtype = jnp.dtype(compute_dtype_name)
+    quantized = compute_dtype_name == "int8"
+    compute_dtype = jnp.bfloat16 if quantized else jnp.dtype(compute_dtype_name)
     d = x.shape[1]
     t_tiles, c = cols.shape
-    # Cast BEFORE the gather: the HBM row-gather is the bottleneck and
-    # narrows with the dtype (measured 76 GB/s fp32 vs 130 GB/s bf16 on
-    # remote v5e at 4k-edge granularity).
-    x = x.astype(compute_dtype)
+
+    # The HBM row-gather is the hot spot, and on v5e it is bound by the
+    # number of gathered *elements* (~71 G elem/s) until the 140 GB/s byte
+    # floor takes over — NOT by row descriptors. So rows are packed into
+    # int32 lanes before the gather: 2x bf16 (lossless, 47 -> 36 ms at
+    # V=131k/E=13M/D=256) or 4x int8 (opt-in lossy mode, -> 30 ms), and
+    # unpacked by a free-ish bitcast feeding the MXU. The int8 per-column
+    # scale commutes with the one-hot row-reduce (output columns are input
+    # columns), so dequantization is a post-matmul row scale, never a
+    # per-edge op.
+    scale = None
+    if quantized and d % 4 == 0:
+        scale = (jnp.max(jnp.abs(x), axis=0) / 127.0 + 1e-12) \
+            .astype(jnp.float32)                                   # (D,)
+        x8 = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+        xp = _pack_int8_quads(x8)                                  # (V, D/4)
+        unpack = _unpack_int8_quads
+    elif jnp.dtype(compute_dtype) == jnp.bfloat16 and d % 2 == 0:
+        xp = _pack_bf16_pairs(x)                                   # (V, D/2)
+        unpack = _unpack_bf16_pairs
+    else:
+        xp = x.astype(compute_dtype)
+        unpack = None
 
     gcols = cols.reshape(t_tiles // group, group * c)
     gvals = vals.reshape(t_tiles // group, group, c)
@@ -133,14 +200,20 @@ def _spmm_tiled_impl(cols, vals, lrow, block, x,
 
     def step(out, tile):
         tcols, tvals, tlrow, tblk = tile
-        xg = jnp.take(x, tcols, axis=0, mode="clip")     # (group*C, D)
-        xg = xg.reshape(group, c, d)
+        xg = jnp.take(xp, tcols, axis=0, mode="clip")    # (group*C, D/pack)
+        xg = xg.reshape(group, c, -1)
         # Unrolled sub-tile reduces: small MXU matmuls over slices of the
         # one big gather (tiles are sorted by row block, so consecutive
         # sub-tiles usually hit the same or adjacent output blocks).
+        # Unpacking happens per sub-tile so it fuses into the matmul
+        # operands instead of materializing a relayouted copy of the gather.
         for j in range(group):
-            t = _tile_reduce(xg[j], tvals[j], tlrow[j], row_block,
+            xj = unpack(xg[j]) if unpack is not None \
+                else xg[j].astype(compute_dtype)
+            t = _tile_reduce(xj, tvals[j], tlrow[j], row_block,
                              compute_dtype)
+            if scale is not None:
+                t = t * scale[None, :]
             off = tblk[j] * row_block
             cur = jax.lax.dynamic_slice(out, (off, 0), (row_block, d))
             out = jax.lax.dynamic_update_slice(out, cur + t, (off, 0))

@@ -57,6 +57,7 @@ class GraphBenchResult:
     forward_ms: dict                   # k -> ms
     backward_ms: dict                  # k -> ms
     validation: Optional[dict]         # {passed, mean_err, max_err, k}
+    roofline: Optional[dict] = None    # audit of the baseline SpMM
 
     def speedup(self, k: int) -> Optional[float]:
         f = self.forward_ms.get(k)
@@ -129,6 +130,11 @@ def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
     base = time_fn(lambda: spmm(g, xj), warmup=10, runs=10)
     log(f"0 {name} {dim} {dim} baseline_spmm {base.mean_ms:.4f}")
 
+    from maxk_tpu.bench.roofline import audit_spmm
+    audit = audit_spmm(csr.n_nodes, csr.n_edges, dim, base.mean_ms,
+                       g.row_block, g.edge_tile, g.n_tiles)
+    log(f"# roofline {name}: {audit.summary()}")
+
     gnna_ms = None
     if run_gnna:
         g1 = build_tiled_graph(csr.with_values(
@@ -167,7 +173,8 @@ def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
         graph=name, n_nodes=csr.n_nodes, n_edges=csr.n_edges,
         avg_degree=csr.avg_degree, dim=dim, baseline_ms=base.mean_ms,
         gnna_ms=gnna_ms, topk_ms=topk_ms, forward_ms=fwd_ms,
-        backward_ms=bwd_ms, validation=validation)
+        backward_ms=bwd_ms, validation=validation,
+        roofline=dataclasses.asdict(audit))
 
 
 def analyze_speedups(results: Sequence[GraphBenchResult],

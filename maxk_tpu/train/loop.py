@@ -180,13 +180,27 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed + 1)
         history = []
         t_start = time.time()
+        # --profile: jax.profiler trace of post-warmup epochs (the dead
+        # reference flag utils/config.py:97-101, made real).
+        profile_epochs = None
+        if getattr(cfg, "profile", False):
+            profile_epochs = (start_epoch + 1,
+                              min(start_epoch + 4, cfg.epochs))
         for epoch in range(start_epoch, cfg.epochs):
+            if profile_epochs and epoch == profile_epochs[0]:
+                jax.profiler.start_trace(f"{cfg.path}/profile")
             rng, step_rng = jax.random.split(rng)
             t0 = time.time()
             state, loss = self._jit_step(state, step_rng)
             if getattr(cfg, "timing", False):
                 loss.block_until_ready()
             step_time = time.time() - t0
+            if profile_epochs and epoch + 1 == profile_epochs[1]:
+                loss.block_until_ready()
+                jax.profiler.stop_trace()
+                profile_epochs = None
+                if self.logger:
+                    self.logger.info(f"Profile trace in {cfg.path}/profile")
 
             if (epoch % max(1, getattr(cfg, "eval_every", 1))) == 0 \
                     or epoch == cfg.epochs - 1:

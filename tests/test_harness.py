@@ -1,0 +1,90 @@
+"""Benchmark harness: output protocol, validation, speedup analysis,
+roofline audit (CPU, tiny graphs, 1+1 timing via monkeypatched protocol
+is unnecessary — time_fn's chained protocol runs fine on CPU)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from maxk_tpu.bench import harness
+from maxk_tpu.bench.roofline import audit_spmm
+from tests.conftest import random_graph
+
+
+@pytest.fixture(scope="module")
+def bench_result():
+    g = random_graph(n_nodes=200, avg_degree=60.0, seed=5, power_law=True)
+    lines = []
+    res = harness.benchmark_graph(g, "tiny", dim=64, ks=(8, 16),
+                                  validate=True, run_gnna=True,
+                                  log=lines.append)
+    return res, lines
+
+
+def test_output_protocol(bench_result):
+    res, lines = bench_result
+    # Reference stdout format: num graph dim_origin dim_k kernel time(ms)
+    kernels = {}
+    for ln in lines:
+        if ln.startswith("#"):
+            continue
+        parts = ln.split()
+        assert len(parts) == 6
+        assert parts[1] == "tiny"
+        assert int(parts[2]) == 64
+        float(parts[5])
+        kernels.setdefault(parts[4], []).append(int(parts[3]))
+    assert "baseline_spmm" in kernels
+    assert "gnna_sum" in kernels
+    assert sorted(kernels["maxk"]) == [8, 16]
+    assert sorted(kernels["maxk_backward"]) == [8, 16]
+    assert sorted(kernels["topk"]) == [8, 16]
+
+
+def test_validation_passes(bench_result):
+    res, _ = bench_result
+    assert res.validation is not None
+    assert res.validation["passed"], res.validation
+    assert res.validation["mean_err"] < 1e-3
+    assert res.validation["bwd_mean_err"] < 1e-3
+
+
+def test_result_json_and_speedups(bench_result):
+    res, _ = bench_result
+    d = res.as_json()
+    json.dumps(d)   # serializable
+    assert d["avg_degree"] > 50
+    assert set(d["speedups"]) == {8, 16}
+    assert res.speedup(8) is not None
+    assert res.roofline["floor_ms"] > 0
+
+
+def test_analyze_speedups(bench_result):
+    res, _ = bench_result
+    lines = []
+    summary = harness.analyze_speedups([res], log=lines.append)
+    assert set(summary) == {8, 16}
+    assert any("geomean" in ln for ln in lines)
+    # Low-degree graphs are excluded.
+    low = harness.analyze_speedups(
+        [res], min_degree=res.avg_degree + 1, log=lines.append)
+    assert low == {}
+
+
+def test_roofline_model():
+    r = audit_spmm(n_nodes=131072, n_edges=13107200, dim=256, time_ms=42.7,
+                   row_block=256, edge_tile=8192, n_tiles=1848)
+    assert r.floor_ms < r.time_ms
+    assert 0 < r.efficiency <= 1.0
+    assert r.bound in ("gather", "stream", "mxu")
+    assert "ms" in r.summary()
+
+
+def test_synthetic_suite_shapes():
+    suite = harness.synthetic_suite()
+    assert len(suite) >= 5
+    names = [n for n, _ in suite]
+    assert len(set(names)) == len(names)
+    for _, csr in suite:
+        assert csr.n_edges > 0

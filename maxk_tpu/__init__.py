@@ -24,6 +24,7 @@ from maxk_tpu.ops.spmm import spmm, spmm_dense_oracle, spmm_segment
 from maxk_tpu.ops.maxk import maxk
 from maxk_tpu.ops.cbsr import cbsr_topk, cbsr_expand
 from maxk_tpu.ops.spgemm import maxk_spgemm
+from maxk_tpu.ops.pallas_spmm import spmm_pallas
 
 __all__ = [
     "CSRGraph",
@@ -36,5 +37,6 @@ __all__ = [
     "cbsr_topk",
     "cbsr_expand",
     "maxk_spgemm",
+    "spmm_pallas",
     "__version__",
 ]

@@ -40,6 +40,21 @@ def main():
         f"classes={dataset.num_classes} multilabel={dataset.multilabel}")
 
     trainer = Trainer(config, dataset, logger=logger, writer=writer)
+
+    if config.evaluate:
+        # Evaluate-only mode: restore the latest checkpoint under the given
+        # experiment path and report train/val/test metrics.
+        from maxk_tpu.train.checkpoint import CheckpointManager
+        ckpt = CheckpointManager(os.path.join(config.evaluate, "ckpt"))
+        state, step = ckpt.restore(trainer.init_state())
+        ckpt.close()
+        train_acc, val_acc, test_acc = trainer.evaluate_masks(state)
+        logger.info(f"Evaluate-only @ epoch {step}: "
+                    f"Train {train_acc:.4f} | Val {val_acc:.4f} | "
+                    f"Test {test_acc:.4f}")
+        writer.close()
+        return dict(epoch=step, train=train_acc, val=val_acc, test=test_acc)
+
     logger.info("Training...")
     results = trainer.fit()
 

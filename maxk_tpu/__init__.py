@@ -19,7 +19,8 @@ architecture:
 
 __version__ = "0.1.0"
 
-from maxk_tpu.ops.graph import CSRGraph, TiledGraph, build_tiled_graph
+from maxk_tpu.ops.graph import CSRGraph, TiledGraph, PartedGraph, \
+    build_tiled_graph
 from maxk_tpu.ops.spmm import spmm, spmm_dense_oracle, spmm_segment
 from maxk_tpu.ops.maxk import maxk
 from maxk_tpu.ops.cbsr import cbsr_topk, cbsr_expand
@@ -29,6 +30,7 @@ from maxk_tpu.ops.pallas_spmm import spmm_pallas
 __all__ = [
     "CSRGraph",
     "TiledGraph",
+    "PartedGraph",
     "build_tiled_graph",
     "spmm",
     "spmm_dense_oracle",

@@ -78,23 +78,25 @@ class DirectMaxKKernels:
     def run_forward_kernel(self, values, selector, dim: int,
                            timing: bool = True
                            ) -> tuple[np.ndarray, Optional[TimingResult]]:
+        import jax
         import jax.numpy as jnp
         from maxk_tpu.ops.spgemm import spgemm_forward_cbsr
         v, s = jnp.asarray(values), jnp.asarray(selector)
-        out = spgemm_forward_cbsr(self.g, v, s, dim)
-        t = time_fn(lambda: spgemm_forward_cbsr(self.g, v, s, dim)) \
-            if timing else None
+        f = jax.jit(lambda g, v, s: spgemm_forward_cbsr(g, v, s, dim))
+        out = f(self.g, v, s)
+        t = time_fn(lambda: f(self.g, v, s)) if timing else None
         return np.asarray(out), t
 
     def run_backward_kernel(self, grad_output, selector,
                             timing: bool = True
                             ) -> tuple[np.ndarray, Optional[TimingResult]]:
+        import jax
         import jax.numpy as jnp
         from maxk_tpu.ops.spgemm import sspmm_sampled
         dy, s = jnp.asarray(grad_output), jnp.asarray(selector)
-        out = sspmm_sampled(self.g_t, dy, s)
-        t = time_fn(lambda: sspmm_sampled(self.g_t, dy, s)) \
-            if timing else None
+        f = jax.jit(sspmm_sampled)
+        out = f(self.g_t, dy, s)
+        t = time_fn(lambda: f(self.g_t, dy, s)) if timing else None
         return np.asarray(out), t
 
     # -- validation / benchmarking ------------------------------------------

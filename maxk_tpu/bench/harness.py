@@ -69,7 +69,7 @@ class GraphBenchResult:
         return d
 
 
-def _validate(g, g_t, x, k, dim) -> dict:
+def _validate(g, g_t, g_seg, g_seg_t, x, k, dim) -> dict:
     """Forward/backward numerical validation against oracles.
 
     Tolerances per reference kernels/main.cu:32-45: element flagged at
@@ -83,17 +83,21 @@ def _validate(g, g_t, x, k, dim) -> dict:
     from maxk_tpu.ops.spgemm import spgemm_forward_cbsr, sspmm_sampled
 
     xj = jnp.asarray(x)
-    v, s = cbsr_topk(xj, k)
-    y = spgemm_forward_cbsr(g, v, s, dim, compute_dtype=jnp.float32)
-    y_ref = spmm_segment(g, cbsr_expand(v, s, dim))
+    v, s = jax.jit(cbsr_topk, static_argnames=("k",))(xj, k=k)
+    y = jax.jit(lambda g, v, s: spgemm_forward_cbsr(
+        g, v, s, dim, compute_dtype=jnp.float32))(g, v, s)
+    y_ref = jax.jit(lambda g, v, s: spmm_segment(
+        g, cbsr_expand(v, s, dim)))(g_seg, v, s)
     err = np.abs(np.asarray(y, np.float64) - np.asarray(y_ref, np.float64))
     scale = max(1.0, float(np.abs(np.asarray(y_ref)).mean()))
 
     dy = jnp.asarray(
         np.random.default_rng(7).uniform(size=y.shape).astype(np.float32))
-    gc = sspmm_sampled(g_t, dy, s, compute_dtype=jnp.float32)
+    gc = jax.jit(lambda gt, dy, s: sspmm_sampled(
+        gt, dy, s, compute_dtype=jnp.float32))(g_t, dy, s)
     from maxk_tpu.ops.cbsr import cbsr_gather
-    gc_ref = cbsr_gather(spmm_segment(g_t, dy), s)
+    gc_ref = jax.jit(lambda gt, dy, s: cbsr_gather(
+        spmm_segment(gt, dy), s))(g_seg_t, dy, s)
     berr = np.abs(np.asarray(gc, np.float64) - np.asarray(gc_ref, np.float64))
 
     mean_err = float(err.mean() / scale)
@@ -131,8 +135,15 @@ def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
     log(f"0 {name} {dim} {dim} baseline_spmm {base.mean_ms:.4f}")
 
     from maxk_tpu.bench.roofline import audit_spmm
-    audit = audit_spmm(csr.n_nodes, csr.n_edges, dim, base.mean_ms,
-                       g.row_block, g.edge_tile, g.n_tiles)
+    from maxk_tpu.ops.graph import PartedGraph
+    if isinstance(g, PartedGraph):
+        g0 = g.parts[0]
+        audit = audit_spmm(csr.n_nodes, csr.n_edges, dim, base.mean_ms,
+                           g0.row_block, g0.edge_tile,
+                           sum(p.n_tiles for p in g.parts))
+    else:
+        audit = audit_spmm(csr.n_nodes, csr.n_edges, dim, base.mean_ms,
+                           g.row_block, g.edge_tile, g.n_tiles)
     log(f"# roofline {name}: {audit.summary()}")
 
     gnna_ms = None
@@ -143,29 +154,36 @@ def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
         gnna_ms = gnna.mean_ms
         log(f"0 {name} {dim} {dim} gnna_sum {gnna.mean_ms:.4f}")
 
+    jit_topk = jax.jit(cbsr_topk, static_argnames=("k",))
+    jit_fwd = jax.jit(lambda g, v, s: spgemm_forward_cbsr(g, v, s, dim))
+    jit_bwd = jax.jit(sspmm_sampled)
+
     validation = None
     topk_ms, fwd_ms, bwd_ms = {}, {}, {}
     for n, k in enumerate(ks):
         if validate and n == 0:
-            validation = _validate(g, g_t, x, k, dim)
+            # The segment-sum oracle runs on unparted tiles; the op under
+            # test keeps its production (possibly column-parted) layout.
+            g_seg = build_tiled_graph(csr, col_part_rows=0)
+            g_seg_t = build_tiled_graph(csr.transpose(), col_part_rows=0)
+            validation = _validate(g, g_t, g_seg, g_seg_t, x, k, dim)
             status = "pass" if validation["passed"] else "FAIL"
             log(f"# validation k={k}: mean_err={validation['mean_err']:.2e} "
                 f"max_err={validation['max_err']:.2e} "
                 f"bwd_mean_err={validation['bwd_mean_err']:.2e} [{status}]")
 
-        tk = time_fn(lambda: cbsr_topk(xj, k), warmup=4, runs=4)
+        tk = time_fn(lambda: jit_topk(xj, k=k), warmup=4, runs=4)
         topk_ms[k] = tk.mean_ms
         log(f"{n} {name} {dim} {k} topk {tk.mean_ms:.4f}")
 
-        v, s = jax.block_until_ready(cbsr_topk(xj, k))
-        fw = time_fn(lambda: spgemm_forward_cbsr(g, v, s, dim),
-                     warmup=4, runs=4)
+        v, s = jax.block_until_ready(jit_topk(xj, k=k))
+        fw = time_fn(lambda: jit_fwd(g, v, s), warmup=4, runs=4)
         fwd_ms[k] = fw.mean_ms
         log(f"{n} {name} {dim} {k} maxk {fw.mean_ms:.4f}")
 
         dy = jnp.asarray(rng.uniform(size=(csr.n_nodes, dim))
                          .astype(np.float32))
-        bw = time_fn(lambda: sspmm_sampled(g_t, dy, s), warmup=4, runs=4)
+        bw = time_fn(lambda: jit_bwd(g_t, dy, s), warmup=4, runs=4)
         bwd_ms[k] = bw.mean_ms
         log(f"{n} {name} {dim} {k} maxk_backward {bw.mean_ms:.4f}")
 

@@ -16,7 +16,7 @@
 //     never spanning two blocks;
 //   - padding slots get col=0, val=0, lrow=R (the discarded garbage row);
 //   - the tile count is rounded up to a multiple of the gather group
-//     (min(16, max(1, 65536 / C))) with all-padding tiles.
+//     (min(64, max(1, 65536 / C))) with all-padding tiles.
 //
 // Exposed via ctypes (no pybind11 in this environment) — see build.py.
 
@@ -38,7 +38,7 @@ int64_t mk_count_tiles(const int64_t* indptr, int64_t n_nodes,
         n_tiles += (cnt + C - 1) / C;
     }
     if (n_tiles == 0) n_tiles = 1;
-    int64_t group = std::max<int64_t>(1, std::min<int64_t>(16, 65536 / C));
+    int64_t group = std::max<int64_t>(1, std::min<int64_t>(64, 65536 / C));
     return ((n_tiles + group - 1) / group) * group;
 }
 

@@ -1,4 +1,5 @@
-from maxk_tpu.ops.graph import CSRGraph, TiledGraph, build_tiled_graph
+from maxk_tpu.ops.graph import CSRGraph, TiledGraph, PartedGraph, \
+    build_tiled_graph
 from maxk_tpu.ops.spmm import spmm, spmm_dense_oracle, spmm_segment
 from maxk_tpu.ops.maxk import maxk
 from maxk_tpu.ops.cbsr import cbsr_topk, cbsr_expand
@@ -8,6 +9,7 @@ from maxk_tpu.ops.pallas_spmm import spmm_pallas
 __all__ = [
     "CSRGraph",
     "TiledGraph",
+    "PartedGraph",
     "build_tiled_graph",
     "spmm",
     "spmm_dense_oracle",

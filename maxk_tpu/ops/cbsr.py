@@ -44,11 +44,17 @@ def cbsr_expand(values: jax.Array, selector: jax.Array, dim: int) -> jax.Array:
 
     dense[i, d] = sum_l values[i, l] * 1{selector[i, l] == d}; top-k
     selectors are unique per row so the sum has at most one live term.
+    Accumulated channel-by-channel so peak memory is O(V*D) even when
+    executed eagerly (a broadcast (V, k, D) intermediate OOMs 16 GB HBM at
+    V=262k, k=64, D=256).
     """
-    iota = jnp.arange(dim, dtype=selector.dtype)
-    hit = selector[:, :, None] == iota[None, None, :]          # (V, k, D)
-    return jnp.where(hit, values[:, :, None],
-                     jnp.zeros((), values.dtype)).sum(axis=1)
+    k = values.shape[1]
+    iota = jnp.arange(dim, dtype=selector.dtype)[None, :]
+    out = jnp.zeros((values.shape[0], dim), values.dtype)
+    for l in range(k):
+        out = out + jnp.where(selector[:, l:l + 1] == iota,
+                              values[:, l:l + 1], jnp.zeros((), values.dtype))
+    return out
 
 
 def cbsr_gather(dense: jax.Array, selector: jax.Array) -> jax.Array:
@@ -57,13 +63,18 @@ def cbsr_gather(dense: jax.Array, selector: jax.Array) -> jax.Array:
     This is the sampling step of the backward SSpMM: the reference computes
     it with per-element global atomicAdd scatter
     (kernels/spmm_maxk_backward.cu:92-103); here it is a one-hot
-    contraction over the channel axis.
+    compare-reduction over the channel axis, one kept channel at a time
+    (O(V*D) peak memory, same rationale as cbsr_expand).
     """
+    k = selector.shape[1]
     dim = dense.shape[1]
-    iota = jnp.arange(dim, dtype=selector.dtype)
-    hit = selector[:, :, None] == iota[None, None, :]          # (V, k, D)
-    return jnp.where(hit, dense[:, None, :],
-                     jnp.zeros((), dense.dtype)).sum(axis=2)
+    iota = jnp.arange(dim, dtype=selector.dtype)[None, :]
+    cols = []
+    for l in range(k):
+        hit = selector[:, l:l + 1] == iota                     # (V, D)
+        cols.append(jnp.where(hit, dense,
+                              jnp.zeros((), dense.dtype)).sum(axis=1))
+    return jnp.stack(cols, axis=1)
 
 
 def cbsr_nbytes(n_nodes: int, k: int, dim: int,

@@ -192,10 +192,67 @@ def _tileset_to_device(ts: TileSet, n_nodes: int, n_edges: int) -> TiledGraph:
     )
 
 
+@struct.dataclass
+class PartedGraph:
+    """Column-partitioned tiled graph: A = sum_p A_p, part p holding the
+    edges whose column falls in rows [p*col_part_rows, (p+1)*col_part_rows)
+    with LOCALIZED column ids.
+
+    Exists because the v5e random row-gather runs ~5x faster against
+    tables confined to a <=32 MiB address range (BASELINE.md machine
+    model); ops.spmm gathers each part against a materialized slice of
+    the feature matrix and accumulates parts into one output.
+    """
+
+    parts: tuple    # tuple[TiledGraph, ...], cols localized per part
+    n_nodes: int = struct.field(pytree_node=False)
+    n_edges: int = struct.field(pytree_node=False)
+    col_part_rows: int = struct.field(pytree_node=False)
+    gather_axis: Optional[str] = struct.field(pytree_node=False, default=None)
+
+    @property
+    def n_parts(self) -> int:
+        return len(self.parts)
+
+    def replace_gather_axis(self, axis):
+        return self.replace(gather_axis=axis)
+
+
+# Column-part row count: 65536 rows x 512 B (D=256 packed bf16) = 32 MiB,
+# the measured fast-gather footprint. Graphs at or under ~1.5x this stay
+# unparted (the cliff only begins past ~96 MiB tables).
+COL_PART_ROWS = 65536
+_PART_THRESHOLD = 196608
+
+
 def build_tiled_graph(csr: CSRGraph,
                       row_block: Optional[int] = None,
-                      edge_tile: Optional[int] = None) -> TiledGraph:
-    """Host CSR -> device TiledGraph (tiles built once, on host)."""
+                      edge_tile: Optional[int] = None,
+                      col_part_rows: Optional[int] = None):
+    """Host CSR -> device TiledGraph / PartedGraph (built once, on host).
+
+    col_part_rows: None = auto (partition columns when the node count
+    exceeds the fast-gather footprint); 0 = never partition.
+    """
+    if col_part_rows is None:
+        col_part_rows = COL_PART_ROWS if csr.n_nodes > _PART_THRESHOLD else 0
+    if col_part_rows and csr.n_nodes > col_part_rows:
+        from maxk_tpu.ops.tiling import split_csr_columns, choose_tile_sizes
+        parts = []
+        for indptr_p, idx_p, val_p in split_csr_columns(
+                csr.indptr, csr.indices, csr.values, col_part_rows):
+            e_p = int(idx_p.shape[0])
+            # Per-part sizes from the PART's degree (each part sees ~1/P
+            # of every row's edges) — parts may differ in R; ops.spmm
+            # handles heterogeneous parts.
+            rb_p, et_p = choose_tile_sizes(csr.n_nodes, max(1, e_p))
+            ts = build_tiles_fast(indptr_p, idx_p, val_p,
+                                  row_block=row_block or rb_p,
+                                  edge_tile=edge_tile or et_p)
+            parts.append(_tileset_to_device(ts, csr.n_nodes, e_p))
+        return PartedGraph(parts=tuple(parts), n_nodes=csr.n_nodes,
+                           n_edges=csr.n_edges,
+                           col_part_rows=col_part_rows)
     ts = build_tiles_fast(csr.indptr, csr.indices, csr.values,
                           row_block=row_block, edge_tile=edge_tile)
     return _tileset_to_device(ts, csr.n_nodes, csr.n_edges)

@@ -24,8 +24,12 @@ def maxk_mask(x: jax.Array, k: int) -> jax.Array:
     ~25 ms at V=131k on v5e while the fused any-compare costs ~2 ms.
     """
     _, idx = jax.lax.top_k(x, k)
-    iota = jnp.arange(x.shape[1], dtype=idx.dtype)
-    hit = (idx[:, :, None] == iota[None, None, :]).any(axis=1)   # (V, D)
+    iota = jnp.arange(x.shape[1], dtype=idx.dtype)[None, :]
+    # One kept channel at a time: O(V*D) peak memory even eagerly (the
+    # broadcast (V, k, D) form OOMs large graphs at k=64).
+    hit = idx[:, 0:1] == iota
+    for l in range(1, k):
+        hit = hit | (idx[:, l:l + 1] == iota)
     return hit.astype(x.dtype)
 
 

@@ -58,6 +58,10 @@ def spmm_segment(g: TiledGraph, x: jax.Array) -> jax.Array:
     with global segment ids. Serves as the cuSPARSE-equivalent reference
     point for speedup reporting (BASELINE.md timing protocol).
     """
+    from maxk_tpu.ops.graph import PartedGraph
+    if isinstance(g, PartedGraph):
+        raise TypeError("spmm_segment is the unparted oracle baseline; "
+                        "build the graph with col_part_rows=0")
     n_out = g.n_rows_padded
     d = x.shape[1]
 
@@ -154,45 +158,36 @@ def _group_count(n_tiles: int, edge_tile: int, target_edges: int = 65536) -> int
     floor (~3.6 ns/row for 512-byte rows). Grouping tiles so each scan step
     issues one large gather recovers the 5x difference.
     """
-    s = max(1, min(16, target_edges // max(1, edge_tile)))
+    s = max(1, min(64, target_edges // max(1, edge_tile)))
     while n_tiles % s:
         s -= 1
     return s
 
 
-@partial(jax.jit, static_argnames=("row_block", "n_rows_padded",
-                                   "compute_dtype_name", "group"))
-def _spmm_tiled_impl(cols, vals, lrow, block, x,
-                     row_block: int, n_rows_padded: int,
-                     compute_dtype_name: str, group: int):
+def _pack_x(x, compute_dtype_name: str):
+    """Pack the gather table into int32 lanes (see _spmm_tiled_impl note).
+
+    Returns (packed_or_cast_x, per_column_scale_or_None, unpack_fn_or_None,
+    compute_dtype).
+    """
     quantized = compute_dtype_name == "int8"
     compute_dtype = jnp.bfloat16 if quantized else jnp.dtype(compute_dtype_name)
     d = x.shape[1]
-    t_tiles, c = cols.shape
-
-    # The HBM row-gather is the hot spot, and on v5e it is bound by the
-    # number of gathered *elements* (~71 G elem/s) until the 140 GB/s byte
-    # floor takes over — NOT by row descriptors. So rows are packed into
-    # int32 lanes before the gather: 2x bf16 (lossless, 47 -> 36 ms at
-    # V=131k/E=13M/D=256) or 4x int8 (opt-in lossy mode, -> 30 ms), and
-    # unpacked by a free-ish bitcast feeding the MXU. The int8 per-column
-    # scale commutes with the one-hot row-reduce (output columns are input
-    # columns), so dequantization is a post-matmul row scale, never a
-    # per-edge op.
-    scale = None
     if quantized and d % 4 == 0:
         scale = (jnp.max(jnp.abs(x), axis=0) / 127.0 + 1e-12) \
             .astype(jnp.float32)                                   # (D,)
         x8 = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
-        xp = _pack_int8_quads(x8)                                  # (V, D/4)
-        unpack = _unpack_int8_quads
-    elif jnp.dtype(compute_dtype) == jnp.bfloat16 and d % 2 == 0:
-        xp = _pack_bf16_pairs(x)                                   # (V, D/2)
-        unpack = _unpack_bf16_pairs
-    else:
-        xp = x.astype(compute_dtype)
-        unpack = None
+        return _pack_int8_quads(x8), scale, _unpack_int8_quads, compute_dtype
+    if jnp.dtype(compute_dtype) == jnp.bfloat16 and d % 2 == 0:
+        return _pack_bf16_pairs(x), None, _unpack_bf16_pairs, compute_dtype
+    return x.astype(compute_dtype), None, None, compute_dtype
 
+
+def _spmm_scan(cols, vals, lrow, block, xp, out, scale, unpack,
+               compute_dtype, row_block: int, group: int):
+    """Scan one tile set's gather groups, accumulating into `out`."""
+    t_tiles, c = cols.shape
+    d = out.shape[1]
     gcols = cols.reshape(t_tiles // group, group * c)
     gvals = vals.reshape(t_tiles // group, group, c)
     glrow = lrow.reshape(t_tiles // group, group, c)
@@ -219,30 +214,93 @@ def _spmm_tiled_impl(cols, vals, lrow, block, x,
             out = jax.lax.dynamic_update_slice(out, cur + t, (off, 0))
         return out, None
 
-    out = jnp.zeros((n_rows_padded, d), dtype=jnp.float32)
     out, _ = jax.lax.scan(step, out, (gcols, gvals, glrow, gblock))
     return out
 
 
-def spmm(g: TiledGraph, x: jax.Array,
+@partial(jax.jit, static_argnames=("row_block", "n_rows_padded",
+                                   "compute_dtype_name", "group"))
+def _spmm_tiled_impl(cols, vals, lrow, block, x,
+                     row_block: int, n_rows_padded: int,
+                     compute_dtype_name: str, group: int):
+    # The HBM row-gather is the hot spot, and on v5e it is bound by the
+    # number of gathered *elements* (~71 G elem/s) until the 140 GB/s byte
+    # floor takes over — NOT by row descriptors. So rows are packed into
+    # int32 lanes before the gather: 2x bf16 (lossless, 47 -> 36 ms at
+    # V=131k/E=13M/D=256) or 4x int8 (opt-in lossy mode, -> 30 ms), and
+    # unpacked by a free-ish bitcast feeding the MXU. The int8 per-column
+    # scale commutes with the one-hot row-reduce (output columns are input
+    # columns), so dequantization is a post-matmul row scale, never a
+    # per-edge op.
+    xp, scale, unpack, compute_dtype = _pack_x(x, compute_dtype_name)
+    out = jnp.zeros((n_rows_padded, x.shape[1]), dtype=jnp.float32)
+    return _spmm_scan(cols, vals, lrow, block, xp, out, scale, unpack,
+                      compute_dtype, row_block, group)
+
+
+@partial(jax.jit, static_argnames=("part_statics", "n_rows_padded",
+                                   "compute_dtype_name", "col_part_rows"))
+def _spmm_parted_impl(part_arrays, x, part_statics,
+                      n_rows_padded: int, compute_dtype_name: str,
+                      col_part_rows: int):
+    """Column-partitioned SpMM: gather each part against a materialized
+    <=32 MiB slice of the packed table (v5e fast-gather footprint — the
+    measured rate is ~560 M rows/s under it and ~117 M rows/s for large
+    tables; BASELINE.md), accumulating all parts into one output."""
+    xp, scale, unpack, compute_dtype = _pack_x(x, compute_dtype_name)
+    v = xp.shape[0]
+    out = jnp.zeros((n_rows_padded, x.shape[1]), dtype=jnp.float32)
+    for p, ((cols, vals, lrow, block), (row_block, group)) in enumerate(
+            zip(part_arrays, part_statics)):
+        lo = p * col_part_rows
+        hi = min(lo + col_part_rows, v)
+        x_p = jax.lax.slice_in_dim(xp, lo, hi, axis=0)
+        # The barrier forces a materialized compact copy; a slice fused
+        # into the gather keeps the large-table slow path.
+        x_p = jax.lax.optimization_barrier(x_p)
+        out = _spmm_scan(cols, vals, lrow, block, x_p, out, scale, unpack,
+                         compute_dtype, row_block, group)
+    return out
+
+
+def _dtype_name(compute_dtype) -> str:
+    return compute_dtype if isinstance(compute_dtype, str) \
+        else jnp.dtype(compute_dtype).name
+
+
+def spmm(g, x: jax.Array,
          compute_dtype: Optional[jnp.dtype] = None) -> jax.Array:
     """Tiled SpMM: out[r] = sum_{e in row r} vals[e] * x[cols[e]].
 
     Args:
-      g: tiled graph (values already encode the aggregation normalization —
-         see CSRGraph.normalize).
+      g: TiledGraph or PartedGraph (values already encode the aggregation
+         normalization — see CSRGraph.normalize).
       x: (V, D) dense features.
       compute_dtype: matmul input dtype; defaults to bfloat16 on TPU
-         (accumulation is always fp32 via preferred_element_type).
+         (accumulation is always fp32 via preferred_element_type);
+         "int8" selects the quantized-gather mode.
     """
+    from maxk_tpu.ops.graph import PartedGraph
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16 if x.dtype == jnp.float32 else x.dtype
     if g.gather_axis is not None:
         # Row-partitioned execution inside shard_map: fetch the full node
         # feature space over ICI, compute only the local row shard.
         x = jax.lax.all_gather(x, g.gather_axis, axis=0, tiled=True)
+        g = g.replace(gather_axis=None)
+    if isinstance(g, PartedGraph):
+        part_arrays = tuple((p.cols, p.vals, p.lrow, p.block)
+                            for p in g.parts)
+        part_statics = tuple(
+            (p.row_block, _group_count(p.n_tiles, p.edge_tile))
+            for p in g.parts)
+        out = _spmm_parted_impl(part_arrays, x, part_statics,
+                                max(p.n_rows_padded for p in g.parts),
+                                _dtype_name(compute_dtype),
+                                g.col_part_rows)
+        return out[: g.n_nodes].astype(x.dtype)
     group = _group_count(g.n_tiles, g.edge_tile)
     out = _spmm_tiled_impl(g.cols, g.vals, g.lrow, g.block, x,
                            g.row_block, g.n_rows_padded,
-                           jnp.dtype(compute_dtype).name, group)
+                           _dtype_name(compute_dtype), group)
     return out[: g.n_nodes].astype(x.dtype)

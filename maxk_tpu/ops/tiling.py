@@ -71,15 +71,17 @@ def choose_tile_sizes(n_nodes: int, n_edges: int,
     enough to amortize gather/dispatch overhead and keep the MXU busy.
     """
     avg_degree = max(1.0, n_edges / max(1, n_nodes))
-    # Measured on v5e (synthetic power-law sweep, see BENCH notes):
-    # C=8192 amortizes per-step dispatch against the HBM gather; smaller
-    # tiles leave 30-40% on the table. R sized so a row block's expected
-    # edges fill ~half a tile (padding waste vs MXU one-hot cost balance).
-    # Small graphs scale both down so a tile never dwarfs the graph.
+    # Measured on v5e (clean single-process sweeps, see BASELINE.md):
+    # C=8192 wins at every degree (64k-slot gather groups amortize scan
+    # dispatch; smaller C measured 2x slower even at lower padding).
+    # R balances the one-hot MXU cost ((R+1)*D MACs per SLOT) against
+    # padding: R ~ 2*C/degree rounded DOWN (deg=100 -> R=128 measured
+    # best; deg_part=4 -> R=512), capped at 512 where the MXU term
+    # overtakes the gather.
     edge_tile = 1 << max(9, min(13, int(math.ceil(math.log2(max(
-        512.0, n_edges / 8.0))))))
+        512.0, n_edges / 4.0))))))
     span = 2.0 * edge_tile / avg_degree
-    row_block = 1 << max(5, min(11, int(math.ceil(math.log2(max(
+    row_block = 1 << max(5, min(9, int(math.floor(math.log2(max(
         32.0, min(span, n_nodes)))))))
     return int(row_block), int(edge_tile)
 
@@ -122,7 +124,7 @@ def build_tiles(indptr: np.ndarray,
     # (ops.spmm groups ~64k edge slots per HBM gather): trailing all-padding
     # tiles accumulate zeros into the last block's garbage row, keeping the
     # tile->block map monotone.
-    group = max(1, min(16, 65536 // C))
+    group = max(1, min(64, 65536 // C))
     n_tiles = -(-n_tiles // group) * group
 
     cols = np.zeros((n_tiles, C), dtype=np.int32)
@@ -152,6 +154,36 @@ def build_tiles(indptr: np.ndarray,
     return TileSet(cols=cols, vals=vals, lrow=lrow, block=block,
                    row_block=R, edge_tile=C,
                    n_rows_padded=n_rows_padded, pad_ratio=pad_ratio)
+
+
+def split_csr_columns(indptr: np.ndarray, indices: np.ndarray,
+                      values: np.ndarray, part_rows: int
+                      ) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Split a CSR matrix into column-range parts with LOCALIZED indices.
+
+    Part p holds the edges with column in [p*part_rows, (p+1)*part_rows),
+    column ids rebased to the part. Row space is unchanged. Used to keep
+    each part's gather table under the v5e fast-gather footprint
+    (measured: random row-gather runs at ~560 M rows/s against tables in
+    a <=32 MiB address range and collapses to ~117 M rows/s beyond
+    ~128 MiB — see BASELINE.md).
+    """
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int32)
+    values = np.asarray(values, dtype=np.float32)
+    n_nodes = int(indptr.shape[0]) - 1
+    n_parts = max(1, -(-n_nodes // part_rows))
+    rows = np.repeat(np.arange(n_nodes, dtype=np.int64), np.diff(indptr))
+    out = []
+    for p in range(n_parts):
+        lo, hi = p * part_rows, min((p + 1) * part_rows, n_nodes)
+        m = (indices >= lo) & (indices < hi)
+        rows_p = rows[m]
+        counts = np.bincount(rows_p, minlength=n_nodes)
+        indptr_p = np.zeros(n_nodes + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr_p[1:])
+        out.append((indptr_p, (indices[m] - lo).astype(np.int32), values[m]))
+    return out
 
 
 def build_tiles_fast(indptr, indices, values=None,

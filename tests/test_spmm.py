@@ -112,3 +112,47 @@ def test_transpose_roundtrip(small_graph):
     out_t = spmm_dense_oracle(gt, np.eye(small_graph.n_nodes,
                                          dtype=np.float32))
     np.testing.assert_allclose(out_t, ref_t, rtol=1e-4, atol=1e-4)
+
+
+def test_parted_graph_matches_oracle(skewed_graph):
+    """Column-partitioned tiling (forced small parts) == dense oracle."""
+    from maxk_tpu.ops.graph import PartedGraph
+    x = _features(skewed_graph.n_nodes, 16)
+    g = build_tiled_graph(skewed_graph, row_block=16, edge_tile=64,
+                          col_part_rows=64)
+    assert isinstance(g, PartedGraph)
+    assert g.n_parts == -(-skewed_graph.n_nodes // 64)
+    assert sum(p.n_edges for p in g.parts) == skewed_graph.n_edges
+    out = np.asarray(spmm(g, jnp.asarray(x), compute_dtype=jnp.float32))
+    np.testing.assert_allclose(out, spmm_dense_oracle(skewed_graph, x),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_parted_fused_maxk_spgemm_and_grad(skewed_graph):
+    """Fused MaxK SpGEMM over parted graphs, forward + gradient."""
+    import jax
+    from maxk_tpu.ops.spgemm import maxk_spgemm
+    from maxk_tpu.ops.maxk import maxk
+    k = 4
+    x = _features(skewed_graph.n_nodes, 16, seed=9)
+    g = build_tiled_graph(skewed_graph, row_block=16, edge_tile=64,
+                          col_part_rows=64)
+    g_t = build_tiled_graph(skewed_graph.transpose(), row_block=16,
+                            edge_tile=64, col_part_rows=64)
+    xj = jnp.asarray(x)
+    y = maxk_spgemm(g, g_t, xj, k, compute_dtype=jnp.float32)
+    ref = spmm_dense_oracle(skewed_graph, np.asarray(maxk(xj, k)))
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-4, atol=2e-4)
+
+    def loss(x):
+        return (maxk_spgemm(g, g_t, x, k, compute_dtype=jnp.float32) ** 2).sum()
+
+    def loss_dense(x):
+        gd = build_tiled_graph(skewed_graph, col_part_rows=0)
+        from maxk_tpu.ops.spmm import spmm as _spmm
+        return (_spmm(gd, maxk(x, k), compute_dtype=jnp.float32) ** 2).sum()
+
+    gfused = jax.grad(loss)(xj)
+    gdense = jax.grad(loss_dense)(xj)
+    np.testing.assert_allclose(np.asarray(gfused), np.asarray(gdense),
+                               rtol=1e-3, atol=1e-3)

@@ -46,39 +46,57 @@ from maxk_tpu.ops.spgemm import maxk_spgemm
 _xavier = nn.initializers.xavier_uniform()
 
 
+# Aggregations each model family consumes (the transpose of the same
+# normalization backs the fused backward SSpMM).
+MODEL_NORMS = {"sage": ("mean",), "sage_fused": ("mean",),
+               "gcn": ("sym",), "gin": ("sum",), "gnn_res": ("sym",)}
+
+
 @struct.dataclass
 class GraphBundle:
     """Tiled graphs for every aggregation a model family may need.
 
     g_mean/g_sum/g_sym carry mean-, un-, and symmetric-normalized edge
     values; *_t are the matching transposes used by fused backward SSpMM.
-    Built once at data-load time; a jit-traceable pytree.
+    Built once at data-load time; a jit-traceable pytree. Pass
+    ``norms=("mean",)`` etc. to build only what a model uses — tile
+    metadata is ~12 bytes/edge per entry, so the full bundle costs
+    6 x 12 B/edge of HBM (~8 GB at reddit scale) while one model needs
+    a third of that.
     """
 
-    g_mean: TiledGraph
-    g_mean_t: TiledGraph
-    g_sum: TiledGraph
-    g_sum_t: TiledGraph
-    g_sym: TiledGraph
-    g_sym_t: TiledGraph
+    g_mean: Optional[TiledGraph]
+    g_mean_t: Optional[TiledGraph]
+    g_sum: Optional[TiledGraph]
+    g_sum_t: Optional[TiledGraph]
+    g_sym: Optional[TiledGraph]
+    g_sym_t: Optional[TiledGraph]
 
     @staticmethod
-    def from_csr(csr: CSRGraph, row_block=None, edge_tile=None) -> "GraphBundle":
-        csr_t = csr.transpose()
-
+    def from_csr(csr: CSRGraph, row_block=None, edge_tile=None,
+                 norms=("mean", "sum", "sym")) -> "GraphBundle":
         def tg(c):
             return build_tiled_graph(c, row_block=row_block,
                                      edge_tile=edge_tile)
 
         # transpose(normalize(A)) == values-correct CSR of normalize(A)^T
+        built = {}
+        for norm in norms:
+            base = csr.normalize("none" if norm == "sum" else norm)
+            built[f"g_{norm}"] = tg(base)
+            built[f"g_{norm}_t"] = tg(base.transpose())
         return GraphBundle(
-            g_mean=tg(csr.normalize("mean")),
-            g_mean_t=tg(csr.normalize("mean").transpose()),
-            g_sum=tg(csr),
-            g_sum_t=tg(csr_t),
-            g_sym=tg(csr.normalize("sym")),
-            g_sym_t=tg(csr.normalize("sym").transpose()),
-        )
+            g_mean=built.get("g_mean"), g_mean_t=built.get("g_mean_t"),
+            g_sum=built.get("g_sum"), g_sum_t=built.get("g_sum_t"),
+            g_sym=built.get("g_sym"), g_sym_t=built.get("g_sym_t"))
+
+    @staticmethod
+    def for_model(csr: CSRGraph, model_name: str,
+                  row_block=None, edge_tile=None) -> "GraphBundle":
+        """Build only the aggregation(s) `model_name` consumes."""
+        return GraphBundle.from_csr(
+            csr, row_block=row_block, edge_tile=edge_tile,
+            norms=MODEL_NORMS.get(model_name, ("mean", "sum", "sym")))
 
 
 def _nonlinear(x, kind: str, k: int):

@@ -65,8 +65,11 @@ class DistTrainer:
                 "distributed gnn_res BatchNorm stats sync not implemented; "
                 "use --norm off or a LayerNorm model for multi-chip runs")
 
-        self.sharded = shard_bundle(dataset.csr, self.n_shards,
-                                    row_block=row_block, edge_tile=edge_tile)
+        from maxk_tpu.models.models import MODEL_NORMS
+        self.sharded = shard_bundle(
+            dataset.csr, self.n_shards, row_block=row_block,
+            edge_tile=edge_tile,
+            norms=MODEL_NORMS.get(config.model, ("mean", "sum", "sym")))
         v_pad = self.sharded.n_nodes_padded
 
         self.model = build_model(

@@ -137,59 +137,65 @@ def shard_graph(csr: CSRGraph, n_shards: int,
 
 @struct.dataclass
 class ShardedGraphBundle:
-    """Sharded analog of models.GraphBundle."""
+    """Sharded analog of models.GraphBundle (entries None when unused)."""
 
-    g_mean: ShardedTiles
-    g_mean_t: ShardedTiles
-    g_sum: ShardedTiles
-    g_sum_t: ShardedTiles
-    g_sym: ShardedTiles
-    g_sym_t: ShardedTiles
+    g_mean: Optional[ShardedTiles]
+    g_mean_t: Optional[ShardedTiles]
+    g_sum: Optional[ShardedTiles]
+    g_sum_t: Optional[ShardedTiles]
+    g_sym: Optional[ShardedTiles]
+    g_sym_t: Optional[ShardedTiles]
+
+    @property
+    def _any(self) -> ShardedTiles:
+        for g in (self.g_mean, self.g_sum, self.g_sym):
+            if g is not None:
+                return g
+        raise ValueError("empty ShardedGraphBundle")
 
     @property
     def n_nodes_padded(self) -> int:
-        return self.g_mean.n_nodes_padded
+        return self._any.n_nodes_padded
 
     @property
     def n_nodes_global(self) -> int:
-        return self.g_mean.n_nodes_global
+        return self._any.n_nodes_global
 
     @property
     def rows_per_shard(self) -> int:
-        return self.g_mean.rows_per_shard
+        return self._any.rows_per_shard
 
 
 def shard_bundle(csr: CSRGraph, n_shards: int,
                  row_block: Optional[int] = None,
-                 edge_tile: Optional[int] = None) -> ShardedGraphBundle:
-    csr_t = csr.transpose()
-
+                 edge_tile: Optional[int] = None,
+                 norms=("mean", "sum", "sym")) -> ShardedGraphBundle:
     def sg(c):
         return shard_graph(c, n_shards, row_block=row_block,
                            edge_tile=edge_tile)
 
+    built = {}
+    for norm in norms:
+        base = csr.normalize("none" if norm == "sum" else norm)
+        built[f"g_{norm}"] = sg(base)
+        built[f"g_{norm}_t"] = sg(base.transpose())
     return ShardedGraphBundle(
-        g_mean=sg(csr.normalize("mean")),
-        g_mean_t=sg(csr.normalize("mean").transpose()),
-        g_sum=sg(csr),
-        g_sum_t=sg(csr_t),
-        g_sym=sg(csr.normalize("sym")),
-        g_sym_t=sg(csr.normalize("sym").transpose()),
-    )
+        g_mean=built.get("g_mean"), g_mean_t=built.get("g_mean_t"),
+        g_sum=built.get("g_sum"), g_sum_t=built.get("g_sum_t"),
+        g_sym=built.get("g_sym"), g_sym_t=built.get("g_sym_t"))
 
 
 def local_bundle(sharded: ShardedGraphBundle,
                  axis_name: str = GRAPH_AXIS) -> GraphBundle:
     """Inside shard_map: per-device GraphBundle view (models use it
     unchanged — ops all-gather over `axis_name` internally)."""
+    def loc(g):
+        return None if g is None else g.local(axis_name)
+
     return GraphBundle(
-        g_mean=sharded.g_mean.local(axis_name),
-        g_mean_t=sharded.g_mean_t.local(axis_name),
-        g_sum=sharded.g_sum.local(axis_name),
-        g_sum_t=sharded.g_sum_t.local(axis_name),
-        g_sym=sharded.g_sym.local(axis_name),
-        g_sym_t=sharded.g_sym_t.local(axis_name),
-    )
+        g_mean=loc(sharded.g_mean), g_mean_t=loc(sharded.g_mean_t),
+        g_sum=loc(sharded.g_sum), g_sum_t=loc(sharded.g_sum_t),
+        g_sym=loc(sharded.g_sym), g_sym_t=loc(sharded.g_sym_t))
 
 
 def shard_node_array(arr: np.ndarray, sharded: ShardedTiles | int,

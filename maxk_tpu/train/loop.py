@@ -67,7 +67,7 @@ class Trainer:
         self.writer = writer
 
         self.graphs = graphs if graphs is not None else \
-            GraphBundle.from_csr(dataset.csr)
+            GraphBundle.for_model(dataset.csr, config.model)
         self.model = build_model(
             config.model, dataset.in_size, config.hidden_dim,
             config.hidden_layers, dataset.num_classes, maxk=config.maxk,

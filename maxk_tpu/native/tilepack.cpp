@@ -23,6 +23,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <vector>
 
 extern "C" {
 
@@ -84,6 +85,89 @@ void mk_fill_tiles(const int64_t* indptr, const int32_t* indices,
                 tv[i - s] = values[i];
                 tl[i - s] = (int32_t)(r - b * R);
             }
+        }
+    }
+}
+
+// CSR transpose via counting sort: O(V + E), stable within columns.
+// numpy's stable argsort over 100M+ edges costs tens of seconds at
+// reddit scale; this runs in ~1 s (the host-side analog of the
+// reference's implicit transpose reuse, SURVEY.md section 2.1 backward).
+void mk_transpose(const int64_t* indptr, const int32_t* indices,
+                  const float* values, int64_t n_nodes,
+                  int64_t* out_indptr, int32_t* out_indices,
+                  float* out_values) {
+    int64_t n_edges = indptr[n_nodes];
+    // Column counts -> output row pointers.
+    std::fill(out_indptr, out_indptr + n_nodes + 1, (int64_t)0);
+    for (int64_t e = 0; e < n_edges; ++e) out_indptr[indices[e] + 1]++;
+    for (int64_t v = 0; v < n_nodes; ++v) out_indptr[v + 1] += out_indptr[v];
+    // Scatter edges; cursor array reuses a scratch copy of the pointers.
+    std::vector<int64_t> cursor(out_indptr, out_indptr + n_nodes);
+    for (int64_t r = 0; r < n_nodes; ++r) {
+        for (int64_t e = indptr[r]; e < indptr[r + 1]; ++e) {
+            int64_t pos = cursor[indices[e]]++;
+            out_indices[pos] = (int32_t)r;
+            out_values[pos] = values[e];
+        }
+    }
+}
+
+// COO -> CSR via counting sort: O(V + E), stable in input order.
+// numpy's stable argsort over 100M+ edges costs minutes (measured 525 s
+// building the reddit-shaped synthetic graph); this is seconds.
+void mk_coo_to_csr(const int64_t* src, const int32_t* dst,
+                   const float* values, int64_t n_nodes, int64_t n_edges,
+                   int64_t* out_indptr, int32_t* out_indices,
+                   float* out_values) {
+    std::fill(out_indptr, out_indptr + n_nodes + 1, (int64_t)0);
+    for (int64_t e = 0; e < n_edges; ++e) out_indptr[src[e] + 1]++;
+    for (int64_t v = 0; v < n_nodes; ++v) out_indptr[v + 1] += out_indptr[v];
+    std::vector<int64_t> cursor(out_indptr, out_indptr + n_nodes);
+    for (int64_t e = 0; e < n_edges; ++e) {
+        int64_t pos = cursor[src[e]]++;
+        out_indices[pos] = dst[e];
+        out_values[pos] = values[e];
+    }
+}
+
+// Column-range split (PartedGraph construction): two O(E) passes fill
+// every part's CSR simultaneously (the numpy per-part masking costs
+// ~40 s/part at 115M edges; this is ~2 s total).
+//   out_indptr  (n_parts, n_nodes+1) int64
+//   out_indices (n_edges,) int32 — parts packed back to back in the order
+//               given by out_offsets (n_parts+1,) int64
+void mk_split_columns(const int64_t* indptr, const int32_t* indices,
+                      const float* values, int64_t n_nodes,
+                      int64_t part_rows, int64_t n_parts,
+                      int64_t* out_indptr, int32_t* out_indices,
+                      float* out_values, int64_t* out_offsets) {
+    int64_t n_edges = indptr[n_nodes];
+    // Pass 1: per-(part, row) counts.
+    std::fill(out_indptr, out_indptr + n_parts * (n_nodes + 1), (int64_t)0);
+    for (int64_t r = 0; r < n_nodes; ++r) {
+        for (int64_t e = indptr[r]; e < indptr[r + 1]; ++e) {
+            int64_t p = indices[e] / part_rows;
+            out_indptr[p * (n_nodes + 1) + r + 1]++;
+        }
+    }
+    // Prefix sums per part + global part offsets.
+    out_offsets[0] = 0;
+    for (int64_t p = 0; p < n_parts; ++p) {
+        int64_t* ip = out_indptr + p * (n_nodes + 1);
+        for (int64_t r = 0; r < n_nodes; ++r) ip[r + 1] += ip[r];
+        out_offsets[p + 1] = out_offsets[p] + ip[n_nodes];
+    }
+    // Pass 2: scatter with per-part cursors (edges stay row-ordered).
+    std::vector<int64_t> cursor(n_parts);
+    for (int64_t r = 0; r < n_nodes; ++r) {
+        for (int64_t p = 0; p < n_parts; ++p)
+            cursor[p] = out_offsets[p] + out_indptr[p * (n_nodes + 1) + r];
+        for (int64_t e = indptr[r]; e < indptr[r + 1]; ++e) {
+            int64_t p = indices[e] / part_rows;
+            int64_t pos = cursor[p]++;
+            out_indices[pos] = (int32_t)(indices[e] - p * part_rows);
+            out_values[pos] = values[e];
         }
     }
 }

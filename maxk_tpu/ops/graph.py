@@ -72,12 +72,26 @@ class CSRGraph:
     @staticmethod
     def from_coo(src: np.ndarray, dst: np.ndarray, n_nodes: int,
                  values: Optional[np.ndarray] = None) -> "CSRGraph":
-        """Rows = src, columns = dst."""
+        """Rows = src, columns = dst (stable in input order).
+
+        Native O(V+E) counting sort when available — numpy's stable
+        argsort costs minutes at 100M+ edges (measured 525 s for the
+        reddit-shaped synthetic graph)."""
         src = np.asarray(src, dtype=np.int64)
         dst = np.asarray(dst, dtype=np.int32)
+        if values is None:
+            values = np.ones(src.shape[0], dtype=np.float32)
+        try:
+            from maxk_tpu.native import tilepack_native
+            if tilepack_native.available():
+                ip, ix, vv = tilepack_native.coo_to_csr(
+                    src, dst, values, n_nodes)
+                return CSRGraph(ip, ix, vv)
+        except ImportError:
+            pass
         order = np.argsort(src, kind="stable")
         src_s, dst_s = src[order], dst[order]
-        vals_s = None if values is None else np.asarray(values, np.float32)[order]
+        vals_s = np.asarray(values, np.float32)[order]
         counts = np.bincount(src_s, minlength=n_nodes)
         indptr = np.zeros(n_nodes + 1, dtype=np.int64)
         np.cumsum(counts, out=indptr[1:])
@@ -91,7 +105,18 @@ class CSRGraph:
     # -- structural transforms ---------------------------------------------
 
     def transpose(self) -> "CSRGraph":
-        """CSC of A == CSR of A^T, carrying edge values across."""
+        """CSC of A == CSR of A^T, carrying edge values across.
+
+        Native O(V+E) counting sort when available (numpy's stable
+        argsort costs tens of seconds at 100M+ edges), numpy fallback."""
+        try:
+            from maxk_tpu.native import tilepack_native
+            if tilepack_native.available():
+                ip, ix, vv = tilepack_native.transpose_csr(
+                    self.indptr, self.indices, self.values)
+                return CSRGraph(ip, ix, vv)
+        except ImportError:
+            pass
         rows, cols = self.to_coo()
         return CSRGraph.from_coo(cols, rows.astype(np.int32), self.n_nodes,
                                  values=self.values)

@@ -173,6 +173,13 @@ def split_csr_columns(indptr: np.ndarray, indices: np.ndarray,
     values = np.asarray(values, dtype=np.float32)
     n_nodes = int(indptr.shape[0]) - 1
     n_parts = max(1, -(-n_nodes // part_rows))
+    try:
+        from maxk_tpu.native import tilepack_native
+        if tilepack_native.available():
+            return tilepack_native.split_csr_columns(
+                indptr, indices, values, part_rows)
+    except ImportError:
+        pass
     rows = np.repeat(np.arange(n_nodes, dtype=np.int64), np.diff(indptr))
     out = []
     for p in range(n_parts):

@@ -45,3 +45,50 @@ def test_default_sizes_dispatch():
     out = tiling.build_tiles_fast(g.indptr, g.indices, g.values)
     np.testing.assert_array_equal(out.cols, ref.cols)
     np.testing.assert_array_equal(out.block, ref.block)
+
+
+def test_transpose_matches_numpy():
+    for seed, power in [(1, False), (2, True)]:
+        g = random_graph(n_nodes=200, avg_degree=12.0, seed=seed,
+                         power_law=power)
+        rows, cols = g.to_coo()
+        from maxk_tpu.ops.graph import CSRGraph
+        ref = CSRGraph.from_coo(cols, rows.astype(np.int32), g.n_nodes,
+                                values=g.values)
+        ip, ix, vv = native.transpose_csr(g.indptr, g.indices, g.values)
+        np.testing.assert_array_equal(ip, ref.indptr)
+        np.testing.assert_array_equal(ix, ref.indices)
+        np.testing.assert_array_equal(vv, ref.values)
+
+
+def test_coo_to_csr_matches_numpy():
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 100, size=1500)
+    dst = rng.integers(0, 100, size=1500).astype(np.int32)
+    vals = rng.normal(size=1500).astype(np.float32)
+    order = np.argsort(src, kind="stable")
+    ip, ix, vv = native.coo_to_csr(src, dst, vals, 100)
+    counts = np.bincount(src[order], minlength=100)
+    ref_ip = np.zeros(101, dtype=np.int64)
+    np.cumsum(counts, out=ref_ip[1:])
+    np.testing.assert_array_equal(ip, ref_ip)
+    np.testing.assert_array_equal(ix, dst[order])
+    np.testing.assert_array_equal(vv, vals[order])
+
+
+def test_split_columns_matches_numpy():
+    from maxk_tpu.ops import tiling
+    g = random_graph(n_nodes=150, avg_degree=15.0, seed=8, power_law=True)
+    nat = native.split_csr_columns(g.indptr, g.indices, g.values, 40)
+    # numpy reference (the in-module fallback path)
+    rows = np.repeat(np.arange(g.n_nodes, dtype=np.int64),
+                     np.diff(g.indptr))
+    for p, (ip, ix, vv) in enumerate(nat):
+        lo, hi = p * 40, min((p + 1) * 40, g.n_nodes)
+        m = (g.indices >= lo) & (g.indices < hi)
+        counts = np.bincount(rows[m], minlength=g.n_nodes)
+        ref_ip = np.zeros(g.n_nodes + 1, dtype=np.int64)
+        np.cumsum(counts, out=ref_ip[1:])
+        np.testing.assert_array_equal(ip, ref_ip)
+        np.testing.assert_array_equal(ix, g.indices[m] - lo)
+        np.testing.assert_array_equal(vv, g.values[m])

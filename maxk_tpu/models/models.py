@@ -40,7 +40,7 @@ from flax import struct
 
 from maxk_tpu.ops.graph import CSRGraph, TiledGraph, build_tiled_graph
 from maxk_tpu.ops.maxk import maxk
-from maxk_tpu.ops.spmm import spmm
+from maxk_tpu.ops.spmm import spmm, spmm_t
 from maxk_tpu.ops.spgemm import maxk_spgemm
 
 _xavier = nn.initializers.xavier_uniform()
@@ -132,10 +132,10 @@ class SAGE(nn.Module):
         for i in range(self.num_hid_layers):
             if self.nonlinear == "maxk":
                 x = maxk(x, self.maxk)
-                x_agg = spmm(graphs.g_mean, x, compute_dtype=jnp.dtype(self.compute_dtype))
             else:
                 x = nn.relu(x)
-                x_agg = spmm(graphs.g_mean, x, compute_dtype=jnp.dtype(self.compute_dtype))
+            x_agg = spmm_t(graphs.g_mean, graphs.g_mean_t, x,
+                           compute_dtype=jnp.dtype(self.compute_dtype))
             h_self = nn.Dense(self.hid_size, use_bias=False,
                               kernel_init=_xavier, name=f"fc_self_{i}")(x)
             h_neigh = nn.Dense(self.hid_size, use_bias=False,
@@ -162,7 +162,8 @@ class SAGEFused(SAGE):
                                     compute_dtype=jnp.dtype(self.compute_dtype))
             else:
                 x = nn.relu(x)
-                x_agg = spmm(graphs.g_mean, x, compute_dtype=jnp.dtype(self.compute_dtype))
+                x_agg = spmm_t(graphs.g_mean, graphs.g_mean_t, x,
+                               compute_dtype=jnp.dtype(self.compute_dtype))
             h_self = nn.Dense(self.hid_size, use_bias=False,
                               kernel_init=_xavier, name=f"fc_self_{i}")(x)
             h_neigh = nn.Dense(self.hid_size, use_bias=False,
@@ -195,7 +196,8 @@ class GCN(nn.Module):
             x = _nonlinear(x, self.nonlinear, self.maxk)
             x = nn.Dropout(self.feat_drop, deterministic=not training)(x)
             # dgl.nn.GraphConv(weight=None, bias=True), norm='both'
-            x = spmm(graphs.g_sym, x, compute_dtype=jnp.dtype(self.compute_dtype))
+            x = spmm_t(graphs.g_sym, graphs.g_sym_t, x,
+                       compute_dtype=jnp.dtype(self.compute_dtype))
             x = x + self.param(f"gconv_bias_{i}", nn.initializers.zeros,
                                (self.hid_size,))
             if self.norm:
@@ -226,7 +228,9 @@ class GIN(nn.Module):
             # dgl.nn.GINConv(learn_eps=True, no apply_func):
             # (1 + eps) * x + sum-aggregated neighbors
             eps = self.param(f"gin_eps_{i}", nn.initializers.zeros, ())
-            x = (1.0 + eps) * x + spmm(graphs.g_sum, x, compute_dtype=jnp.dtype(self.compute_dtype))
+            x = (1.0 + eps) * x + spmm_t(
+                graphs.g_sum, graphs.g_sum_t, x,
+                compute_dtype=jnp.dtype(self.compute_dtype))
             if self.norm:
                 x = nn.LayerNorm(name=f"norm_{i}")(x)
         return nn.Dense(self.out_size, kernel_init=_xavier, name="lin_out")(x)
@@ -250,7 +254,8 @@ class GNNRes(nn.Module):
         for i in range(self.num_hid_layers):
             x_res = nn.Dense(self.hid_size, kernel_init=_xavier,
                              name=f"res_{i}")(x)
-            x = spmm(graphs.g_sym, x, compute_dtype=jnp.dtype(self.compute_dtype))
+            x = spmm_t(graphs.g_sym, graphs.g_sym_t, x,
+                       compute_dtype=jnp.dtype(self.compute_dtype))
             x = x + self.param(f"gconv_bias_{i}", nn.initializers.zeros,
                                (self.hid_size,))
             if self.norm:

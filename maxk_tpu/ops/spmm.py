@@ -263,6 +263,38 @@ def _spmm_parted_impl(part_arrays, x, part_statics,
     return out
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _spmm_pair(g, g_t, x, compute_dtype_name):
+    return spmm(g, x, compute_dtype=compute_dtype_name)
+
+
+def _spmm_pair_fwd(g, g_t, x, compute_dtype_name):
+    return spmm(g, x, compute_dtype=compute_dtype_name), (g_t,)
+
+
+def _spmm_pair_bwd(compute_dtype_name, res, dy):
+    (g_t,) = res
+    return (None, None, spmm(g_t, dy, compute_dtype=compute_dtype_name))
+
+
+_spmm_pair.defvjp(_spmm_pair_fwd, _spmm_pair_bwd)
+
+
+def spmm_t(g, g_t, x: jax.Array,
+           compute_dtype: Optional[jnp.dtype] = None) -> jax.Array:
+    """spmm with an explicit-transpose backward: dx = A^T @ dy.
+
+    Differentiating spmm() directly makes XLA transpose the edge gather
+    into a scatter-add (the slow library path — tens of times the forward
+    cost at scale); this custom VJP routes the cotangent through the same
+    tiled forward kernel on the precomputed transpose instead. Models use
+    it for every aggregation (the transposes live in GraphBundle).
+    """
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if x.dtype == jnp.float32 else x.dtype
+    return _spmm_pair(g, g_t, x, _dtype_name(compute_dtype))
+
+
 def _dtype_name(compute_dtype) -> str:
     return compute_dtype if isinstance(compute_dtype, str) \
         else jnp.dtype(compute_dtype).name

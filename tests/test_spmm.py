@@ -59,6 +59,28 @@ def test_spmm_bf16_within_tolerance(small_graph):
     assert np.mean(np.abs(out - ref) / scale) < 1e-2
 
 
+def test_spmm_t_forward_and_grad(small_graph):
+    """spmm_t (explicit-transpose backward) matches spmm forward and
+    autodiff gradients — the custom VJP that keeps XLA from transposing
+    the edge gather into a scatter-add in the training step."""
+    import jax
+    from maxk_tpu.ops.spmm import spmm_t
+    x = jnp.asarray(_features(small_graph.n_nodes, 48))
+    g = build_tiled_graph(small_graph, row_block=16, edge_tile=64)
+    g_t = build_tiled_graph(small_graph.transpose(), row_block=16,
+                            edge_tile=64)
+    f0 = np.asarray(spmm(g, x, compute_dtype=jnp.float32))
+    f1 = np.asarray(spmm_t(g, g_t, x, compute_dtype=jnp.float32))
+    np.testing.assert_array_equal(f0, f1)
+
+    loss_auto = lambda x: (spmm(g, x, compute_dtype=jnp.float32) ** 2).sum()
+    loss_vjp = lambda x: (spmm_t(g, g_t, x,
+                                 compute_dtype=jnp.float32) ** 2).sum()
+    ga = np.asarray(jax.grad(loss_auto)(x))
+    gv = np.asarray(jax.grad(loss_vjp)(x))
+    np.testing.assert_allclose(gv, ga, rtol=1e-4, atol=1e-4)
+
+
 def test_spmm_coo_matches_oracle(small_graph):
     x = _features(small_graph.n_nodes, 32)
     ref = spmm_dense_oracle(small_graph, x)

@@ -64,6 +64,10 @@ class Dataset:
     num_classes: int
     multilabel: bool
     metric: str
+    # True iff the adjacency equals its transpose INCLUDING edge values
+    # (undirected graphs with unit values). Lets GraphBundle skip the
+    # transpose builds (models.GraphBundle.from_csr).
+    symmetric: bool = False
 
     @property
     def in_size(self) -> int:
@@ -107,6 +111,7 @@ def _load_npz(name: str, data_path: str) -> Dataset:
         num_classes=int(z["num_classes"]),
         multilabel=info["multilabel"],
         metric=info["metric"],
+        symmetric=bool(z["symmetric"]) if "symmetric" in z.files else False,
     )
 
 

@@ -74,7 +74,16 @@ class GraphBundle:
 
     @staticmethod
     def from_csr(csr: CSRGraph, row_block=None, edge_tile=None,
-                 norms=("mean", "sum", "sym")) -> "GraphBundle":
+                 norms=("mean", "sum", "sym"),
+                 symmetric: bool = False) -> "GraphBundle":
+        """symmetric=True asserts A == A^T including edge values (undirected
+        graph, uniform values). Then sum/sym-normalized matrices are their
+        own transpose (aliased — no second build, half the HBM), and the
+        mean transpose (D^-1 A)^T = A D^-1 shares A's sparsity structure,
+        so it needs only a column-degree value rescale instead of the O(E)
+        transpose counting sort."""
+        import numpy as np
+
         def tg(c):
             return build_tiled_graph(c, row_block=row_block,
                                      edge_tile=edge_tile)
@@ -84,7 +93,14 @@ class GraphBundle:
         for norm in norms:
             base = csr.normalize("none" if norm == "sum" else norm)
             built[f"g_{norm}"] = tg(base)
-            built[f"g_{norm}_t"] = tg(base.transpose())
+            if symmetric and norm in ("sum", "sym"):
+                built[f"g_{norm}_t"] = built[f"g_{norm}"]
+            elif symmetric and norm == "mean":
+                deg = np.maximum(np.diff(csr.indptr), 1).astype(np.float32)
+                built[f"g_{norm}_t"] = tg(csr.with_values(
+                    (csr.values / deg[csr.indices]).astype(np.float32)))
+            else:
+                built[f"g_{norm}_t"] = tg(base.transpose())
         return GraphBundle(
             g_mean=built.get("g_mean"), g_mean_t=built.get("g_mean_t"),
             g_sum=built.get("g_sum"), g_sum_t=built.get("g_sum_t"),
@@ -92,11 +108,13 @@ class GraphBundle:
 
     @staticmethod
     def for_model(csr: CSRGraph, model_name: str,
-                  row_block=None, edge_tile=None) -> "GraphBundle":
+                  row_block=None, edge_tile=None,
+                  symmetric: bool = False) -> "GraphBundle":
         """Build only the aggregation(s) `model_name` consumes."""
         return GraphBundle.from_csr(
             csr, row_block=row_block, edge_tile=edge_tile,
-            norms=MODEL_NORMS.get(model_name, ("mean", "sum", "sym")))
+            norms=MODEL_NORMS.get(model_name, ("mean", "sum", "sym")),
+            symmetric=symmetric)
 
 
 def _nonlinear(x, kind: str, k: int):

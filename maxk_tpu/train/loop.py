@@ -67,7 +67,9 @@ class Trainer:
         self.writer = writer
 
         self.graphs = graphs if graphs is not None else \
-            GraphBundle.for_model(dataset.csr, config.model)
+            GraphBundle.for_model(dataset.csr, config.model,
+                                  symmetric=getattr(dataset, "symmetric",
+                                                    False))
         self.model = build_model(
             config.model, dataset.in_size, config.hidden_dim,
             config.hidden_layers, dataset.num_classes, maxk=config.maxk,

@@ -101,3 +101,26 @@ def test_dropout_active_only_in_training(bundle):
     out_tr2 = model.apply(variables, graphs, x, training=True,
                           rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.allclose(np.asarray(out_tr1), np.asarray(out_tr2))
+
+
+def test_symmetric_bundle_matches_transpose_built(bundle):
+    """GraphBundle(symmetric=True) skips the transpose builds (sum/sym
+    alias the forward graph; mean_t is a column-degree rescale of the same
+    structure). On a genuinely symmetric graph every *_t must act as the
+    same linear operator as the transpose-built one."""
+    from maxk_tpu.data.loaders import synthetic_graph
+    from maxk_tpu.ops.spmm import spmm
+    csr = synthetic_graph(150, 5.0, seed=7, symmetric=True)
+    ref = GraphBundle.from_csr(csr, row_block=16, edge_tile=64,
+                               symmetric=False)
+    fast = GraphBundle.from_csr(csr, row_block=16, edge_tile=64,
+                                symmetric=True)
+    x = jnp.asarray(np.random.default_rng(5).normal(
+        size=(csr.n_nodes, 32)).astype(np.float32))
+    for name in ("g_mean_t", "g_sum_t", "g_sym_t"):
+        a = np.asarray(spmm(getattr(ref, name), x,
+                            compute_dtype=jnp.float32))
+        b = np.asarray(spmm(getattr(fast, name), x,
+                            compute_dtype=jnp.float32))
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5,
+                                   err_msg=name)

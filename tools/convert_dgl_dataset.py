@@ -88,9 +88,23 @@ def load(dataset: str):
         raise ValueError(f"unknown dataset {dataset}")
 
     indptr, indices, _ = g.adj_tensors("csr")
-    return dict(indptr=indptr.numpy().astype(np.int64),
-                indices=indices.numpy().astype(np.int32),
-                feat=feat, label=label, num_classes=num_classes, **masks)
+    indptr = indptr.numpy().astype(np.int64)
+    indices = indices.numpy().astype(np.int32)
+    return dict(indptr=indptr, indices=indices,
+                feat=feat, label=label, num_classes=num_classes,
+                symmetric=_is_symmetric(indptr, indices), **masks)
+
+
+def _is_symmetric(indptr: np.ndarray, indices: np.ndarray) -> bool:
+    """Structural A == A^T check (unit edge values). Stored in the npz so
+    GraphBundle can skip the transpose builds at load time."""
+    rows = np.repeat(np.arange(len(indptr) - 1, dtype=np.int64),
+                     np.diff(indptr))
+    cols = indices.astype(np.int64)
+    fwd = np.lexsort((cols, rows))
+    rev = np.lexsort((rows, cols))
+    return bool(np.array_equal(rows[fwd], cols[rev])
+                and np.array_equal(cols[fwd], rows[rev]))
 
 
 def main():

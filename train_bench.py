@@ -61,7 +61,7 @@ def main():
             val_mask=rng.uniform(size=v) < 0.1,
             test_mask=rng.uniform(size=v) < 0.2,
             num_classes=args.n_classes, multilabel=False,
-            metric="micro_f1")
+            metric="micro_f1", symmetric=True)
         name = ds.name
     print(f"# {name}: V={ds.csr.n_nodes} E={ds.csr.n_edges} "
           f"F={ds.in_size} backend={jax.default_backend()}", file=sys.stderr)

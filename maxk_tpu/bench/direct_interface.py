@@ -50,6 +50,18 @@ class DirectMaxKKernels:
         self.graph_name = graph_name
         self.g: TiledGraph = build_tiled_graph(csr)
         self.g_t: TiledGraph = build_tiled_graph(csr.transpose())
+        self._g_oracle = None   # lazy unparted graph for spmm_segment
+
+    @property
+    def g_oracle(self) -> TiledGraph:
+        """Unparted tiles for the segment-sum oracle: build_tiled_graph
+        auto-returns a PartedGraph above the fast-gather footprint, and
+        spmm_segment rejects PartedGraph by design."""
+        if self._g_oracle is None:
+            from maxk_tpu.ops.graph import PartedGraph
+            self._g_oracle = (build_tiled_graph(self.csr, col_part_rows=0)
+                              if isinstance(self.g, PartedGraph) else self.g)
+        return self._g_oracle
 
     # -- metadata ----------------------------------------------------------
 
@@ -114,7 +126,7 @@ class DirectMaxKKernels:
         dim = x.shape[1]
         out = spgemm_forward_cbsr(self.g, v, s, dim,
                                   compute_dtype=jnp.float32)
-        ref = spmm_segment(self.g, cbsr_expand(v, s, dim))
+        ref = spmm_segment(self.g_oracle, cbsr_expand(v, s, dim))
         err = np.abs(np.asarray(out, np.float64)
                      - np.asarray(ref, np.float64))
         scale = max(1.0, float(np.abs(np.asarray(ref)).mean()))

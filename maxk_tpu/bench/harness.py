@@ -4,7 +4,11 @@ main_runner_direct.py:19-213).
 
 Per graph, at dim_origin=256 (reference kernels/main.cu:52):
   - library-baseline SpMM on the dense input, 10 warmup + 10 timed runs
-    (the role cuSPARSE plays in the reference, spmm_cusparse.cu:35-51);
+    (the role cuSPARSE plays in the reference, spmm_cusparse.cu:35-51).
+    The baseline is the production tiled ``spmm`` — the platform's best
+    dense-operand SpMM — so every reported speedup answers "is MaxK faster
+    than not using MaxK at all". The unfused spmm_segment path is a
+    validation oracle only, never a speedup denominator;
   - unweighted neighbor-sum SpMM (the GNNAdvisor SAG-kernel analog,
     reference kernels/spmm_gnna.cu:60-140 — pure neighbor sum, ignores
     edge values);

@@ -37,6 +37,8 @@ def generate_warp4(csr: CSRGraph, warp_max_nz: int = WARP_MAX_NZ) -> np.ndarray:
     rows = np.nonzero(deg > 0)[0]
     warps_per_row = -(-nz // warp_max_nz)
     n_warps = int(warps_per_row.sum())
+    if n_warps == 0:    # all rows empty: np.repeat below would mismatch
+        return np.zeros((0, 4), dtype=np.int32)
 
     warp_row = np.repeat(rows, warps_per_row).astype(np.int32)
     # Offset of each warp within its row: 0, 64, 128, ...

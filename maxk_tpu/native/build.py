@@ -1,13 +1,17 @@
 """Lazy build of the native shared library with the system toolchain.
 
 Compiles tilepack.cpp into _maxk_native.so next to this file on first
-import (and whenever the source is newer than the binary). Failures are
-non-fatal: callers fall back to the numpy implementations.
+import. Staleness is keyed on a content hash of the source stored next to
+the binary (mtimes are not preserved by git checkouts, and a stale binary
+compiled with -march=native on another machine could SIGILL or silently
+diverge). The binary is never committed (*.so is gitignored). Failures
+are non-fatal: callers fall back to the numpy implementations.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import sys
@@ -17,12 +21,20 @@ from pathlib import Path
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "tilepack.cpp"
 _LIB_PATH = _HERE / "_maxk_native.so"
+_HASH_PATH = _HERE / "_maxk_native.hash"
+
+
+def _src_hash() -> str:
+    return hashlib.sha256(_SRC.read_bytes()).hexdigest()
 
 
 def _needs_build() -> bool:
-    if not _LIB_PATH.exists():
+    if not _LIB_PATH.exists() or not _HASH_PATH.exists():
         return True
-    return _SRC.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    try:
+        return _HASH_PATH.read_text().strip() != _src_hash()
+    except OSError:
+        return True
 
 
 def _compile() -> bool:
@@ -37,6 +49,7 @@ def _compile() -> bool:
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         tmp_path.replace(_LIB_PATH)
+        _HASH_PATH.write_text(_src_hash() + "\n")
         return True
     except (subprocess.SubprocessError, OSError) as e:
         tmp_path.unlink(missing_ok=True)

@@ -5,9 +5,13 @@ Three execution strategies, all numerically validated against each other
 
 1. ``spmm_dense_oracle`` — densify A and matmul. Exact oracle for tests.
 2. ``spmm_segment``      — gather + jax.ops.segment_sum (scatter-add).
-   This is the unfused "library baseline": the role cuSPARSE SpMM plays in
-   the reference benchmark (reference kernels/spmm_cusparse.cu:6-52).
-3. ``spmm`` (tiled)      — the production path. lax.scan over row-block
+   An unfused correctness oracle only, NOT the speedup baseline: XLA's
+   scatter-add path is far below this hardware's SpMM capability.
+3. ``spmm`` (tiled)      — the production path AND the library baseline
+   for all speedup reporting: the role cuSPARSE SpMM plays in the
+   reference benchmark (reference kernels/spmm_cusparse.cu:6-52) is "the
+   best dense-operand SpMM the platform offers", which on this TPU stack
+   is this kernel. lax.scan over row-block
    edge tiles; each tile gathers its neighbor feature rows and reduces them
    with a one-hot segment matmul on the MXU, then accumulates into its row
    block. Race-free by construction — the TPU answer to the reference's
@@ -52,11 +56,11 @@ def spmm_coo(rows: jax.Array, cols: jax.Array, vals: jax.Array,
 
 
 def spmm_segment(g: TiledGraph, x: jax.Array) -> jax.Array:
-    """Unfused scatter-add baseline on the tiled layout.
+    """Unfused scatter-add oracle on the tiled layout.
 
     Gathers all neighbor rows tile-by-tile and scatter-adds into the output
-    with global segment ids. Serves as the cuSPARSE-equivalent reference
-    point for speedup reporting (BASELINE.md timing protocol).
+    with global segment ids. Used for numerical validation; speedup
+    reporting baselines against the tiled ``spmm`` (see module docstring).
     """
     from maxk_tpu.ops.graph import PartedGraph
     if isinstance(g, PartedGraph):

@@ -113,7 +113,6 @@ def main():
         jax.block_until_ready(loss)
         ms = (time.perf_counter() - t0) / args.steps * 1e3
         base_ms = base_ms or ms
-        eff = base_ms / (ms * n) * sizes[0] if ms else 0.0
         rows.append(dict(devices=n, step_ms=round(ms, 3),
                          loss=float(loss),
                          speedup=round(base_ms / ms, 3),

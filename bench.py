@@ -1,6 +1,11 @@
 #!/usr/bin/env python
-"""Headline benchmark: MaxK fused SpGEMM vs the unfused scatter-add SpMM
-baseline (the cuSPARSE-analog), on one chip.
+"""Headline benchmark: MaxK fused SpGEMM vs the production dense tiled
+SpMM baseline, on one chip.
+
+vs_baseline answers the honest question "is MaxK aggregation faster than
+not using MaxK at all" — the same comparison the paper's cuSPARSE column
+makes (round-1 reported vs the weak unfused scatter-add path instead;
+that number is still logged to stderr for continuity).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -70,28 +75,32 @@ def main():
 
     # Graphs are jit ARGUMENTS (closure capture would bake them into the
     # executable as constants, re-shipped per call on remote TPUs).
-    base_fn = jax.jit(spmm_segment)
-    t_base = time_fn(lambda: base_fn(g, x), warmup=10, runs=10)
-    log(f"baseline spmm_segment: {t_base.mean_ms:.2f} ms "
-        f"({t_base.nnz_per_s(nnz)/1e9:.2f} Gnnz/s)")
-
-    # Our tiled MXU SpMM (dense path).
+    # Production dense tiled SpMM: THE baseline (10+10 protocol, the role
+    # cuSPARSE plays in the reference benchmark).
     tiled_fn = jax.jit(spmm)
-    t_tiled = time_fn(lambda: tiled_fn(g, x), warmup=4, runs=4)
-    log(f"tiled spmm: {t_tiled.mean_ms:.2f} ms "
+    t_tiled = time_fn(lambda: tiled_fn(g, x), warmup=10, runs=10)
+    log(f"baseline tiled spmm: {t_tiled.mean_ms:.2f} ms "
         f"({t_tiled.nnz_per_s(nnz)/1e9:.2f} Gnnz/s)")
+
+    # Unfused scatter-add oracle (round-1's flattering denominator, kept
+    # for continuity in the logs only).
+    base_fn = jax.jit(spmm_segment)
+    t_seg = time_fn(lambda: base_fn(g, x), warmup=4, runs=4)
+    log(f"unfused spmm_segment: {t_seg.mean_ms:.2f} ms "
+        f"({t_seg.nnz_per_s(nnz)/1e9:.2f} Gnnz/s)")
 
     # Fused MaxK SpGEMM forward (the headline kernel).
     fused_fn = jax.jit(lambda gg, ggt, xx: maxk_spgemm(gg, ggt, xx, args.k))
     t_fused = time_fn(lambda: fused_fn(g, gt, x), warmup=4, runs=4)
     log(f"maxk_spgemm fwd k={args.k}: {t_fused.mean_ms:.2f} ms "
-        f"({t_fused.nnz_per_s(nnz)/1e9:.2f} Gnnz/s)")
+        f"({t_fused.nnz_per_s(nnz)/1e9:.2f} Gnnz/s); "
+        f"vs unfused {t_seg.mean_ms / t_fused.mean_ms:.1f}x")
 
     print(json.dumps({
         "metric": f"maxk_spgemm_fwd_nnz_per_s_k{args.k}_d{args.dim}",
         "value": round(t_fused.nnz_per_s(nnz) / 1e9, 4),
         "unit": "Gnnz/s",
-        "vs_baseline": round(t_base.mean_ms / t_fused.mean_ms, 4),
+        "vs_baseline": round(t_tiled.mean_ms / t_fused.mean_ms, 4),
     }))
 
 

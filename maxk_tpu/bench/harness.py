@@ -152,11 +152,13 @@ def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
 
     gnna_ms = None
     if run_gnna:
-        g1 = build_tiled_graph(csr.with_values(
-            np.ones(csr.n_edges, np.float32)))
-        gnna = time_fn(lambda: spmm(g1, xj), warmup=4, runs=4)
+        # Distinct neighbor-group baseline (reference spmm_gnna.cu
+        # build_part + SAG kernel) — not the tiled production kernel.
+        from maxk_tpu.ops.gnna import build_parts, spmm_gnna
+        parts = build_parts(csr)
+        gnna = time_fn(lambda: spmm_gnna(parts, xj), warmup=4, runs=4)
         gnna_ms = gnna.mean_ms
-        log(f"0 {name} {dim} {dim} gnna_sum {gnna.mean_ms:.4f}")
+        log(f"0 {name} {dim} {dim} gnna_sag {gnna.mean_ms:.4f}")
 
     jit_topk = jax.jit(cbsr_topk, static_argnames=("k",))
     jit_fwd = jax.jit(lambda g, v, s: spgemm_forward_cbsr(g, v, s, dim))

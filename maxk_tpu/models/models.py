@@ -264,6 +264,9 @@ class GNNRes(nn.Module):
     norm: bool = False
     nonlinear: str = "maxk"
     compute_dtype: str = "bfloat16"   # SpMM MXU input dtype (fp32 accum)
+    # Mesh axis for cross-shard BatchNorm statistics (row-partitioned
+    # training syncs mean/var over the graph axis; None = local stats).
+    bn_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, graphs: GraphBundle, x, *, training: bool = False):
@@ -278,6 +281,7 @@ class GNNRes(nn.Module):
                                (self.hid_size,))
             if self.norm:
                 x = nn.BatchNorm(use_running_average=not training,
+                                 axis_name=self.bn_axis,
                                  name=f"norm_{i}")(x)
             x = nn.Dense(self.hid_size, kernel_init=_xavier,
                          name=f"lin1_{i}")(x)
@@ -299,15 +303,21 @@ _MODELS = {"sage": SAGE, "sage_fused": SAGEFused, "gcn": GCN, "gin": GIN,
 def build_model(name: str, in_size: int, hid_size: int, num_hid_layers: int,
                 out_size: int, maxk: int = 32, feat_drop: float = 0.5,
                 norm: bool = False, nonlinear: str = "maxk",
-                compute_dtype: str = "bfloat16") -> nn.Module:
+                compute_dtype: str = "bfloat16",
+                bn_axis: Optional[str] = None) -> nn.Module:
     """Factory matching the reference driver's model switch
-    (maxk_gnn_dgl.py:208-215)."""
+    (maxk_gnn_dgl.py:208-215). bn_axis: mesh axis for cross-shard
+    BatchNorm stats (gnn_res only; distributed training passes the graph
+    axis)."""
     try:
         cls = _MODELS[name]
     except KeyError:
         raise ValueError(
             f"unknown model {name!r}; choose from {sorted(_MODELS)}")
-    return cls(in_size=in_size, hid_size=hid_size,
-               num_hid_layers=num_hid_layers, out_size=out_size, maxk=maxk,
-               feat_drop=feat_drop, norm=norm, nonlinear=nonlinear,
-               compute_dtype=compute_dtype)
+    kwargs = dict(in_size=in_size, hid_size=hid_size,
+                  num_hid_layers=num_hid_layers, out_size=out_size,
+                  maxk=maxk, feat_drop=feat_drop, norm=norm,
+                  nonlinear=nonlinear, compute_dtype=compute_dtype)
+    if name == "gnn_res":
+        kwargs["bn_axis"] = bn_axis
+    return cls(**kwargs)

@@ -197,6 +197,10 @@ class TiledGraph:
     # all-gather their dense/CBSR operand over this mesh axis: cols index
     # the GLOBAL node space while block/lrow address the LOCAL row shard.
     gather_axis: Optional[str] = struct.field(pytree_node=False, default=None)
+    # Neighbor-selective alternative to gather_axis (parallel.halo.HaloSpec):
+    # cols index the [local rows | halo buffer] table and ops exchange only
+    # the rows each shard actually needs (all_to_all over spec.axis).
+    halo: Optional[object] = None
 
     @property
     def n_tiles(self) -> int:
@@ -243,11 +247,14 @@ class PartedGraph:
         return self.replace(gather_axis=axis)
 
 
-# Column-part row count: 65536 rows x 512 B (D=256 packed bf16) = 32 MiB,
-# the measured fast-gather footprint. Graphs at or under ~1.5x this stay
-# unparted (the cliff only begins past ~96 MiB tables).
-COL_PART_ROWS = 65536
-_PART_THRESHOLD = 196608
+# Column-part row count: the round-2 probe sweep (tools/probe_gather2.py)
+# shows the random row-gather cliff is keyed on the table's ROW COUNT, not
+# its byte size: tables of <= 131072 rows gather at the ~565 M rows/s
+# descriptor floor for any row width <= 96 int32 lanes, while 262144-row
+# tables collapse to ~120 M rows/s even at 24 lanes (24 MiB). Parts are
+# therefore exactly 131072 rows, and any graph beyond that is parted.
+COL_PART_ROWS = 131072
+_PART_THRESHOLD = 131072
 
 
 def build_tiled_graph(csr: CSRGraph,

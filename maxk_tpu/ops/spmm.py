@@ -154,6 +154,55 @@ def _unpack_int8_quads(xp: jax.Array) -> tuple[jax.Array, ...]:
         ((xp << (24 - 8 * j)) >> 24).astype(jnp.float32) for j in range(4))
 
 
+def _unpack_uint8_quads(xp: jax.Array) -> tuple[jax.Array, ...]:
+    """Unsigned variant of _unpack_int8_quads (int32 in [0, 256)) — used
+    for packed CBSR selectors, which are column indices, not values."""
+    return tuple((xp >> (8 * j)) & 0xFF for j in range(4))
+
+
+# Measured on v5e (tools/probe_gather.py / probe_split.py, round 2):
+# ISOLATED random row-gathers show a ~565 M rows/s descriptor floor for
+# rows of 2..96 int32 lanes and a ~4.8x collapse at 128 lanes — but the
+# penalty does NOT transfer into this kernel: XLA's gather-into-matmul
+# fusion runs the same (V, 128) take at ~2.7 ns/slot in situ
+# (BENCH_KERNELS round 1), and splitting the table into two <=96-lane
+# gathers measures SLOWER both isolated (10.0 vs 8.4 ns/row) and in
+# kernel (16.7 vs 2.8 ns/slot, tools/probe_kernels.py). The splitting
+# machinery is therefore OFF by default (threshold 128 = never for the
+# packed table) and kept behind this env override for future toolchains.
+import os as _os
+_GATHER_MAX_LANES = int(_os.environ.get("MAXK_GATHER_MAX_LANES", "128"))
+
+
+def _split_tables(xp: jax.Array) -> tuple[jax.Array, ...]:
+    """Split a packed gather table into <=96-lane compact column chunks."""
+    lanes = xp.shape[1]
+    n = -(-lanes // _GATHER_MAX_LANES)
+    if n == 1:
+        return (xp,)
+    chunk = -(-lanes // n)
+    return tuple(
+        jax.lax.optimization_barrier(
+            jax.lax.slice_in_dim(xp, i, min(i + chunk, lanes), axis=1))
+        for i in range(0, lanes, chunk))
+
+
+def _chunk_operands(xgs, unpack, compute_dtype):
+    """Gathered column chunks -> matmul operands in original column order.
+
+    Each packed chunk unpacks to m column-group operands (bf16 pairs m=2,
+    int8 quads m=4, unpacked m=1); the original column order across chunks
+    is [group q of chunk j for q in range(m) for j in chunks] because
+    packing interleaves groups at stride D/m in the full table.
+    """
+    if unpack is None:
+        return tuple(x.astype(compute_dtype) for x in xgs)
+    per_chunk = [unpack(x) for x in xgs]
+    m = len(per_chunk[0])
+    return tuple(per_chunk[j][q]
+                 for q in range(m) for j in range(len(per_chunk)))
+
+
 def _group_count(n_tiles: int, edge_tile: int, target_edges: int = 65536) -> int:
     """Tiles per gather group: ~64k edge slots per HBM gather.
 
@@ -187,9 +236,16 @@ def _pack_x(x, compute_dtype_name: str):
     return x.astype(compute_dtype), None, None, compute_dtype
 
 
-def _spmm_scan(cols, vals, lrow, block, xp, out, scale, unpack,
-               compute_dtype, row_block: int, group: int):
-    """Scan one tile set's gather groups, accumulating into `out`."""
+def _scan_tiles(cols, vals, lrow, block, tables, out, compute_dtype,
+                row_block: int, group: int, operands_fn, scale=None):
+    """Scan tile gather groups, accumulating into `out`.
+
+    `tables` is the tuple of <=96-lane column chunks of the packed gather
+    table (_split_tables): one take per chunk per group keeps every gather
+    row under the 512-byte width penalty (see _GATHER_MAX_LANES note).
+    `operands_fn(raw_chunks)` turns one sub-tile's gathered chunks into the
+    matmul operand(s) — unpack for dense tables, unpack+expand for CBSR.
+    """
     t_tiles, c = cols.shape
     d = out.shape[1]
     gcols = cols.reshape(t_tiles // group, group * c)
@@ -199,16 +255,15 @@ def _spmm_scan(cols, vals, lrow, block, xp, out, scale, unpack,
 
     def step(out, tile):
         tcols, tvals, tlrow, tblk = tile
-        xg = jnp.take(xp, tcols, axis=0, mode="clip")    # (group*C, D/pack)
-        xg = xg.reshape(group, c, -1)
+        xgs = [jnp.take(t, tcols, axis=0, mode="clip")   # (group*C, lanes_i)
+               .reshape(group, c, -1) for t in tables]
         # Unrolled sub-tile reduces: small MXU matmuls over slices of the
         # one big gather (tiles are sorted by row block, so consecutive
         # sub-tiles usually hit the same or adjacent output blocks).
         # Unpacking happens per sub-tile so it fuses into the matmul
         # operands instead of materializing a relayouted copy of the gather.
         for j in range(group):
-            xj = unpack(xg[j]) if unpack is not None \
-                else xg[j].astype(compute_dtype)
+            xj = operands_fn([x[j] for x in xgs])
             t = _tile_reduce(xj, tvals[j], tlrow[j], row_block,
                              compute_dtype)
             if scale is not None:
@@ -220,6 +275,15 @@ def _spmm_scan(cols, vals, lrow, block, xp, out, scale, unpack,
 
     out, _ = jax.lax.scan(step, out, (gcols, gvals, glrow, gblock))
     return out
+
+
+def _spmm_scan(cols, vals, lrow, block, tables, out, scale, unpack,
+               compute_dtype, row_block: int, group: int):
+    """Dense-table scan: operands are the unpacked gathered chunks."""
+    return _scan_tiles(
+        cols, vals, lrow, block, tables, out, compute_dtype, row_block,
+        group, lambda xgs: _chunk_operands(xgs, unpack, compute_dtype),
+        scale=scale)
 
 
 @partial(jax.jit, static_argnames=("row_block", "n_rows_padded",
@@ -238,8 +302,8 @@ def _spmm_tiled_impl(cols, vals, lrow, block, x,
     # per-edge op.
     xp, scale, unpack, compute_dtype = _pack_x(x, compute_dtype_name)
     out = jnp.zeros((n_rows_padded, x.shape[1]), dtype=jnp.float32)
-    return _spmm_scan(cols, vals, lrow, block, xp, out, scale, unpack,
-                      compute_dtype, row_block, group)
+    return _spmm_scan(cols, vals, lrow, block, _split_tables(xp), out,
+                      scale, unpack, compute_dtype, row_block, group)
 
 
 @partial(jax.jit, static_argnames=("part_statics", "n_rows_padded",
@@ -262,8 +326,8 @@ def _spmm_parted_impl(part_arrays, x, part_statics,
         # The barrier forces a materialized compact copy; a slice fused
         # into the gather keeps the large-table slow path.
         x_p = jax.lax.optimization_barrier(x_p)
-        out = _spmm_scan(cols, vals, lrow, block, x_p, out, scale, unpack,
-                         compute_dtype, row_block, group)
+        out = _spmm_scan(cols, vals, lrow, block, _split_tables(x_p), out,
+                         scale, unpack, compute_dtype, row_block, group)
     return out
 
 
@@ -304,6 +368,43 @@ def _dtype_name(compute_dtype) -> str:
         else jnp.dtype(compute_dtype).name
 
 
+def _spmm_halo(g, x: jax.Array, compute_dtype) -> jax.Array:
+    """Row-partitioned SpMM with neighbor-selective halo exchange.
+
+    Runs inside shard_map: tiles are ordered local-first at shard time
+    (parallel.partition), so the local-tile scan is data-independent of the
+    all_to_all and XLA's latency-hiding scheduler can overlap them; halo
+    tiles then scan against the [local | received] table. The exchange
+    moves PACKED rows (bf16 pairs), i.e. half the dense f32 halo bytes.
+    """
+    from maxk_tpu.parallel.halo import halo_exchange
+    spec = g.halo
+    cdname = _dtype_name(compute_dtype)
+    nl = spec.n_local_tiles
+    d = x.shape[1]
+    if cdname == "int8":
+        # Quantization scales must match the packed payload; exchange raw
+        # rows and pack the combined table (no overlap in this mode).
+        x_full = halo_exchange(x, spec)
+        xp_full, scale, unpack, cd = _pack_x(x_full, cdname)
+        tables_local = tables_full = _split_tables(xp_full)
+    else:
+        xp, scale, unpack, cd = _pack_x(x, cdname)
+        tables_local = _split_tables(xp)
+        tables_full = _split_tables(halo_exchange(xp, spec))
+    out = jnp.zeros((g.n_rows_padded, d), dtype=jnp.float32)
+    if nl:
+        out = _spmm_scan(g.cols[:nl], g.vals[:nl], g.lrow[:nl],
+                         g.block[:nl], tables_local, out, scale, unpack,
+                         cd, g.row_block, _group_count(nl, g.edge_tile))
+    if g.n_tiles > nl:
+        out = _spmm_scan(g.cols[nl:], g.vals[nl:], g.lrow[nl:],
+                         g.block[nl:], tables_full, out, scale, unpack,
+                         cd, g.row_block,
+                         _group_count(g.n_tiles - nl, g.edge_tile))
+    return out[: g.n_nodes].astype(x.dtype)
+
+
 def spmm(g, x: jax.Array,
          compute_dtype: Optional[jnp.dtype] = None) -> jax.Array:
     """Tiled SpMM: out[r] = sum_{e in row r} vals[e] * x[cols[e]].
@@ -319,6 +420,8 @@ def spmm(g, x: jax.Array,
     from maxk_tpu.ops.graph import PartedGraph
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16 if x.dtype == jnp.float32 else x.dtype
+    if getattr(g, "halo", None) is not None:
+        return _spmm_halo(g, x, compute_dtype)
     if g.gather_axis is not None:
         # Row-partitioned execution inside shard_map: fetch the full node
         # feature space over ICI, compute only the local row shard.

@@ -37,7 +37,8 @@ from maxk_tpu.parallel.mesh import make_graph_mesh, GRAPH_AXIS
 from maxk_tpu.parallel.partition import (
     ShardedGraphBundle, shard_bundle, shard_node_array, local_bundle)
 from maxk_tpu.train import metrics as metrics_lib
-from maxk_tpu.train.loop import TrainState, TrainResults, masked_loss
+from maxk_tpu.train.loop import (TrainState, TrainResults, FitLoop,
+                                 masked_loss)
 from maxk_tpu.train.optim import make_optimizer
 
 
@@ -45,8 +46,12 @@ def _spec_like(tree, spec):
     return jax.tree.map(lambda _: spec, tree)
 
 
-class DistTrainer:
-    """Row-partitioned full-graph trainer over a device mesh."""
+class DistTrainer(FitLoop):
+    """Row-partitioned full-graph trainer over a device mesh.
+
+    Shares the FitLoop driver with the single-device Trainer, so
+    checkpoint/resume, patience early stop, eval-every-N and the final
+    results artifact behave identically at any mesh size."""
 
     def __init__(self, config, dataset: Dataset, mesh: Optional[Mesh] = None,
                  logger=None, writer=None,
@@ -60,16 +65,12 @@ class DistTrainer:
             make_graph_mesh(getattr(config, "n_devices", 0))
         self.n_shards = self.mesh.devices.size
 
-        if config.model == "gnn_res" and config.norm:
-            raise NotImplementedError(
-                "distributed gnn_res BatchNorm stats sync not implemented; "
-                "use --norm off or a LayerNorm model for multi-chip runs")
-
         from maxk_tpu.models.models import MODEL_NORMS
         self.sharded = shard_bundle(
             dataset.csr, self.n_shards, row_block=row_block,
             edge_tile=edge_tile,
-            norms=MODEL_NORMS.get(config.model, ("mean", "sum", "sym")))
+            norms=MODEL_NORMS.get(config.model, ("mean", "sum", "sym")),
+            halo=getattr(config, "halo", True))
         v_pad = self.sharded.n_nodes_padded
 
         self.model = build_model(
@@ -77,7 +78,12 @@ class DistTrainer:
             config.hidden_layers, dataset.num_classes, maxk=config.maxk,
             feat_drop=config.dropout, norm=config.norm,
             nonlinear=config.nonlinear,
-            compute_dtype=getattr(config, "compute_dtype", "bfloat16"))
+            compute_dtype=getattr(config, "compute_dtype", "bfloat16"),
+            # gnn_res BatchNorm syncs its batch statistics over the graph
+            # axis (flax axis_name -> pmean inside shard_map); padded rows
+            # (< row_block * n_shards of V) enter the stats with zeros.
+            bn_axis=GRAPH_AXIS if (config.model == "gnn_res"
+                                   and config.norm) else None)
         self.optimizer = make_optimizer(
             config.w_lr, config.w_weight_decay,
             enable_lookahead=getattr(config, "enable_lookahead", False))
@@ -104,11 +110,20 @@ class DistTrainer:
             graphs = local_bundle(graphs_sharded, axis)
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             variables = {"params": params}
-            if jax.tree_util.tree_leaves(batch_stats):
+            has_bn = bool(jax.tree_util.tree_leaves(batch_stats))
+            if has_bn:
                 variables["batch_stats"] = batch_stats
-            logits = self.model.apply(variables, graphs, x,
-                                      training=True,
-                                      rngs={"dropout": rng})
+                # BatchNorm stats sync over the graph axis via the model's
+                # bn_axis (pmean), so every shard's update is identical.
+                logits, mutated = self.model.apply(
+                    variables, graphs, x, training=True,
+                    rngs={"dropout": rng}, mutable=["batch_stats"])
+                new_bs = mutated["batch_stats"]
+            else:
+                logits = self.model.apply(variables, graphs, x,
+                                          training=True,
+                                          rngs={"dropout": rng})
+                new_bs = batch_stats
             if dataset.multilabel:
                 per = optax.sigmoid_binary_cross_entropy(
                     logits, labels).mean(axis=-1)
@@ -118,7 +133,7 @@ class DistTrainer:
             m = mask.astype(per.dtype)
             num = jax.lax.psum((per * m).sum(), axis)
             den = jax.lax.psum(m.sum(), axis)
-            return num / jnp.maximum(den, 1.0)
+            return num / jnp.maximum(den, 1.0), new_bs
 
         def sharded_logits(params, batch_stats, graphs_sharded, x):
             graphs = local_bundle(graphs_sharded, axis)
@@ -138,15 +153,17 @@ class DistTrainer:
                               bspec_of(state.batch_stats),
                               gspec, P(GRAPH_AXIS), P(GRAPH_AXIS),
                               P(GRAPH_AXIS), P()),
-                    out_specs=P(),
+                    out_specs=(P(), bspec_of(state.batch_stats)),
                     check_vma=False)
-                loss, grads = jax.value_and_grad(
+                (loss, new_bs), grads = jax.value_and_grad(
                     lambda p: loss_fn(p, state.batch_stats, graphs_sharded,
-                                      x, labels, mask, rng))(state.params)
+                                      x, labels, mask, rng),
+                    has_aux=True)(state.params)
                 updates, opt_state = self.optimizer.update(
                     grads, state.opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
-                return state.replace(params=params, opt_state=opt_state,
+                return state.replace(params=params, batch_stats=new_bs,
+                                     opt_state=opt_state,
                                      epoch=state.epoch + 1), loss
             return jax.jit(step, donate_argnums=(0,))
 
@@ -164,8 +181,8 @@ class DistTrainer:
 
         self._make_step = make_step
         self._make_logits = make_logits
-        self._jit_step = None
-        self._jit_logits = None
+        self._jit_step_fn = None
+        self._jit_logits_fn = None
 
     # -- state -----------------------------------------------------------
     # Parameter shapes depend only on feature dims, so init runs once on a
@@ -187,18 +204,31 @@ class DistTrainer:
                               self._rep),
                           epoch=jnp.zeros((), jnp.int32))
 
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        """Concrete init on an unsharded single-device graph view (shapes
+        depend only on feature dims), replicated over the mesh."""
+        from maxk_tpu.models.models import GraphBundle
+        graphs = GraphBundle.for_model(
+            self.dataset.csr, self.config.model,
+            symmetric=getattr(self.dataset, "symmetric", False))
+        return self.init_state_concrete(
+            graphs, jnp.asarray(self.dataset.features), seed=seed)
+
     # -- API ----------------------------------------------------------------
 
     def train_step(self, state: TrainState, rng):
-        if self._jit_step is None:
-            self._jit_step = self._make_step()
-        return self._jit_step(state, self.graph_arrays, self.features,
-                              self.labels, self.train_mask, rng)
+        if self._jit_step_fn is None:
+            self._jit_step_fn = self._make_step()
+        return self._jit_step_fn(state, self.graph_arrays, self.features,
+                                 self.labels, self.train_mask, rng)
+
+    # FitLoop hook.
+    _jit_step = train_step
 
     def eval_logits(self, state: TrainState):
-        if self._jit_logits is None:
-            self._jit_logits = self._make_logits()
-        out = self._jit_logits(state, self.graph_arrays, self.features)
+        if self._jit_logits_fn is None:
+            self._jit_logits_fn = self._make_logits()
+        out = self._jit_logits_fn(state, self.graph_arrays, self.features)
         return np.asarray(out)[: self.dataset.csr.n_nodes]
 
     def evaluate_masks(self, state: TrainState):
@@ -210,34 +240,9 @@ class DistTrainer:
 
     def fit(self, state: Optional[TrainState] = None,
             init_graphs=None, init_features=None) -> TrainResults:
-        cfg = self.config
-        if state is None:
-            from maxk_tpu.models.models import GraphBundle
-            if init_graphs is None:
-                init_graphs = GraphBundle.from_csr(self.dataset.csr)
-                init_features = jnp.asarray(self.dataset.features)
+        """FitLoop driver; init_graphs/init_features optionally supply a
+        prebuilt single-device view for parameter init (compat with
+        scaling_bench's explicit-init flow)."""
+        if state is None and init_graphs is not None:
             state = self.init_state_concrete(init_graphs, init_features)
-
-        rng = jax.random.PRNGKey(cfg.seed + 1)
-        best = {"val": 0.0, "test": 0.0, "epoch": -1}
-        history = []
-        for epoch in range(cfg.epochs):
-            rng, step_rng = jax.random.split(rng)
-            state, loss = self.train_step(state, step_rng)
-            if (epoch % max(1, getattr(cfg, "eval_every", 1))) == 0 \
-                    or epoch == cfg.epochs - 1:
-                train_acc, val_acc, test_acc = self.evaluate_masks(state)
-                if val_acc > best["val"]:
-                    best.update(val=val_acc, test=test_acc, epoch=epoch)
-                history.append(dict(epoch=epoch, loss=float(loss),
-                                    train=train_acc, val=val_acc,
-                                    test=test_acc))
-                if self.logger:
-                    self.logger.info(
-                        f"[dist x{self.n_shards}] Epoch {epoch:04d} | "
-                        f"Loss {float(loss):.4f} | Val {val_acc:.4f} | "
-                        f"Test {test_acc:.4f}")
-        _, _, final_test = self.evaluate_masks(state)
-        return TrainResults(best_val=best["val"], best_test=best["test"],
-                            final_test=final_test, best_epoch=best["epoch"],
-                            epochs_run=cfg.epochs, history=history)
+        return FitLoop.fit(self, state)

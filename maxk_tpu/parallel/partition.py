@@ -34,6 +34,12 @@ class ShardedTiles:
     cols/vals/lrow: (S, T, C); block: (S, T). Shards are padded to a common
     tile count T with all-padding tiles. Statics mirror TiledGraph plus the
     global node count.
+
+    Halo mode (send_idx is not None): tile columns are remapped into each
+    shard's [local rows | halo buffer] table space, tiles are ordered
+    local-first with the split at n_local_tiles, and send_idx (S, S, H)
+    carries each shard's per-peer send lists (parallel.halo). Ops then
+    exchange only needed rows instead of all-gathering the node space.
     """
 
     cols: jax.Array
@@ -47,10 +53,27 @@ class ShardedTiles:
     n_edges: int = struct.field(pytree_node=False)
     row_block: int = struct.field(pytree_node=False)
     edge_tile: int = struct.field(pytree_node=False)
+    send_idx: Optional[jax.Array] = None
+    halo_rows: int = struct.field(pytree_node=False, default=0)
+    n_local_tiles: int = struct.field(pytree_node=False, default=0)
 
     def local(self, axis_name: str = GRAPH_AXIS) -> TiledGraph:
         """Inside shard_map: view this device's (1, ...) slice as a local
-        TiledGraph that all-gathers its operand over `axis_name`."""
+        TiledGraph (halo exchange when planned, else full all-gather over
+        `axis_name`)."""
+        halo = None
+        gather_axis = axis_name
+        if self.send_idx is not None:
+            from maxk_tpu.parallel.halo import HaloSpec
+            halo = HaloSpec(send_idx=self.send_idx[0],
+                            n_local=self.rows_per_shard,
+                            halo_rows=self.halo_rows,
+                            n_local_tiles=self.n_local_tiles,
+                            axis=axis_name)
+            gather_axis = None
+        elif self.halo_rows == 0 and self.n_local_tiles == self.cols.shape[1]:
+            # Fully local partition (no cross-shard edges): no collective.
+            gather_axis = None
         return TiledGraph(
             cols=self.cols[0], vals=self.vals[0], lrow=self.lrow[0],
             block=self.block[0],
@@ -59,7 +82,8 @@ class ShardedTiles:
             row_block=self.row_block,
             edge_tile=self.edge_tile,
             n_rows_padded=self.rows_per_shard,
-            gather_axis=axis_name,
+            gather_axis=gather_axis,
+            halo=halo,
         )
 
 
@@ -79,8 +103,15 @@ def pad_nodes(arr: np.ndarray, n_nodes_padded: int,
 
 def shard_graph(csr: CSRGraph, n_shards: int,
                 row_block: Optional[int] = None,
-                edge_tile: Optional[int] = None) -> ShardedTiles:
-    """Partition a CSR graph's rows into n_shards equal blocks of tiles."""
+                edge_tile: Optional[int] = None,
+                halo: bool = True) -> ShardedTiles:
+    """Partition a CSR graph's rows into n_shards equal blocks of tiles.
+
+    halo=True (default) additionally plans the neighbor-selective halo
+    exchange (parallel.halo): per-peer send lists, [local | halo] column
+    remapping, and local-first tile ordering for comm/compute overlap.
+    halo=False keeps the full all-gather execution mode.
+    """
     from maxk_tpu.ops.tiling import choose_tile_sizes
     if row_block is None or edge_tile is None:
         rb, et = choose_tile_sizes(csr.n_nodes, csr.n_edges)
@@ -107,12 +138,26 @@ def shard_graph(csr: CSRGraph, n_shards: int,
         assert ts.n_rows_padded == rows_per_shard
         shard_sets.append(ts)
 
-    t_max = max(ts.cols.shape[0] for ts in shard_sets)
+    send_idx = None
+    halo_rows = 0
+    n_local_tiles = 0
+    planned = False
+    if halo and n_shards > 1:
+        from maxk_tpu.parallel.halo import plan_halo
+        tiles = [(ts.cols, ts.vals, ts.lrow, ts.block) for ts in shard_sets]
+        tiles, send_np, halo_rows, n_local_tiles = plan_halo(
+            tiles, row_block, n_shards, rows_per_shard)
+        if send_np is not None:
+            send_idx = jnp.asarray(send_np)
+        planned = True
+    else:
+        tiles = [(ts.cols, ts.vals, ts.lrow, ts.block) for ts in shard_sets]
+    t_max = max(t[0].shape[0] for t in tiles)
 
-    def stack(attr, fill):
+    def stack(i, fill):
         out = []
-        for ts in shard_sets:
-            a = getattr(ts, attr)
+        for t in tiles:
+            a = t[i]
             pad = t_max - a.shape[0]
             if pad:
                 widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
@@ -120,11 +165,16 @@ def shard_graph(csr: CSRGraph, n_shards: int,
             out.append(a)
         return jnp.asarray(np.stack(out))
 
+    stacked = {"cols": stack(0, 0), "vals": stack(1, 0.0),
+               "lrow": stack(2, row_block),  # padding -> garbage row
+               "block": stack(3, 0)}
+    if planned and send_idx is None:
+        # plan_halo found zero cross-shard edges: columns are already
+        # local per shard, so run with no collective at all.
+        n_local_tiles = t_max
+
     return ShardedTiles(
-        cols=stack("cols", 0),
-        vals=stack("vals", 0.0),
-        lrow=stack("lrow", row_block),  # padding -> garbage row
-        block=stack("block", 0),
+        **stacked,
         n_shards=n_shards,
         rows_per_shard=rows_per_shard,
         n_nodes_global=v,
@@ -132,6 +182,9 @@ def shard_graph(csr: CSRGraph, n_shards: int,
         n_edges=csr.n_edges,
         row_block=row_block,
         edge_tile=edge_tile,
+        send_idx=send_idx,
+        halo_rows=halo_rows,
+        n_local_tiles=n_local_tiles,
     )
 
 
@@ -169,10 +222,11 @@ class ShardedGraphBundle:
 def shard_bundle(csr: CSRGraph, n_shards: int,
                  row_block: Optional[int] = None,
                  edge_tile: Optional[int] = None,
-                 norms=("mean", "sum", "sym")) -> ShardedGraphBundle:
+                 norms=("mean", "sum", "sym"),
+                 halo: bool = True) -> ShardedGraphBundle:
     def sg(c):
         return shard_graph(c, n_shards, row_block=row_block,
-                           edge_tile=edge_tile)
+                           edge_tile=edge_tile, halo=halo)
 
     built = {}
     for norm in norms:

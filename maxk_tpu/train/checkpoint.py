@@ -4,13 +4,16 @@ The reference has no working checkpointing (an unused save_checkpoint
 helper, utils/general_utils.py:101-106, and a dead --save_every flag,
 utils/config.py:93-94; only a final state blob in the integrated driver,
 maxk_gnn_integrated.py:329-333). Here save-every-N and resume are
-first-class: params, optimizer state, batch stats, epoch counter and the
-best-metric trackers are all restored, so a resumed run continues the
-best-val bookkeeping exactly.
+first-class: params, optimizer state, batch stats and epoch counter go
+through Orbax, and the training-loop bookkeeping (best-val/best-test
+trackers, patience counter) rides alongside as a JSON `extra` blob per
+step, so a resumed run continues best-val tracking and early-stop state
+exactly (tests/test_train.py::test_checkpoint_resume_best).
 """
 
 from __future__ import annotations
 
+import json
 import os
 from pathlib import Path
 from typing import Any, Optional
@@ -30,9 +33,15 @@ class CheckpointManager:
                                                  create=True),
         )
 
-    def save(self, step: int, state: Any) -> None:
+    def _extra_path(self, step: int) -> Path:
+        return self._dir / f"extra_{step}.json"
+
+    def save(self, step: int, state: Any,
+             extra: Optional[dict] = None) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
+        if extra is not None:
+            self._extra_path(step).write_text(json.dumps(extra))
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -46,6 +55,14 @@ class CheckpointManager:
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(state_template))
         return restored, step
+
+    def restore_extra(self, step: Optional[int] = None) -> Optional[dict]:
+        """Loop bookkeeping saved next to `step` (None when absent)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        p = self._extra_path(step)
+        return json.loads(p.read_text()) if p.exists() else None
 
     def close(self):
         self._mgr.close()

@@ -42,6 +42,11 @@ class TrainConfig(argparse.ArgumentParser):
 
         # Training
         self.add_argument("--epochs", type=int, default=1000)
+        self.add_argument("--patience", type=int, default=0,
+                          help="Early stop after N evals without val "
+                               "improvement (reference integrated driver "
+                               "uses 100, maxk_gnn_integrated.py:166-209; "
+                               "0 = off)")
         self.add_argument("--w_lr", type=float, default=0.01)
         self.add_argument("--w_weight_decay", type=float, default=0.0)
         self.add_argument("--enable_lookahead", action="store_true",
@@ -64,7 +69,13 @@ class TrainConfig(argparse.ArgumentParser):
 
         # TPU execution (replaces the reference's --gpu flag)
         self.add_argument("--n_devices", type=int, default=0,
-                          help="Devices in the graph mesh; 0 = all local")
+                          help="Devices in the graph mesh; >1 selects the "
+                               "row-partitioned DistTrainer with halo "
+                               "exchange, 0/1 = single-device trainer")
+        self.add_argument("--no_halo", dest="halo", action="store_false",
+                          default=True,
+                          help="Disable the neighbor-selective halo "
+                               "exchange (fall back to full all-gather)")
         self.add_argument("--compute_dtype", type=str, default="bfloat16",
                           choices=["bfloat16", "float32"],
                           help="SpMM MXU input dtype (accumulation is fp32)")

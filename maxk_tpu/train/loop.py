@@ -43,6 +43,7 @@ class TrainResults:
     best_epoch: int
     epochs_run: int
     history: list
+    early_stopped: bool = False
 
 
 def masked_loss(logits, labels, mask, multilabel: bool):
@@ -56,7 +57,164 @@ def masked_loss(logits, labels, mask, multilabel: bool):
     return (per * m).sum() / jnp.maximum(m.sum(), 1.0)
 
 
-class Trainer:
+class FitLoop:
+    """Shared training driver for Trainer and parallel.DistTrainer.
+
+    Implementors provide: config, dataset, logger, writer, init_state(),
+    _jit_step(state, rng) -> (state, loss), evaluate_masks(state), and
+    optionally _aggregation_probe(state) (timing report hook).
+
+    Reproduces the reference integrated driver's loop features on top of
+    the DGL driver's per-epoch protocol: patience-based early stop
+    (reference maxk_gnn_integrated.py:166-209; --patience 0 disables),
+    eval-every-N (:168), aggregation-time reporting under --timing
+    (:214-220 — the reference method it calls does not exist; here it is
+    real), and a final {config, results} artifact (:329-333). Best-metric
+    trackers and the patience counter persist through checkpoint/resume
+    (CheckpointManager extra blob).
+    """
+
+    def fit(self, state: Optional[TrainState] = None) -> TrainResults:
+        cfg = self.config
+        state = state if state is not None else self.init_state()
+        start_epoch = int(state.epoch)
+
+        ckpt = None
+        best = {"val": 0.0, "test": 0.0, "epoch": -1}
+        bad_evals = 0
+        if getattr(cfg, "save_every", 0) or getattr(cfg, "resume", False):
+            ckpt = CheckpointManager(f"{cfg.path}/ckpt")
+            if getattr(cfg, "resume", False) \
+                    and ckpt.latest_step() is not None:
+                state, start_epoch = ckpt.restore(state)
+                extra = ckpt.restore_extra()
+                if extra:
+                    best.update(val=extra.get("best_val", 0.0),
+                                test=extra.get("best_test", 0.0),
+                                epoch=extra.get("best_epoch", -1))
+                    bad_evals = extra.get("bad_evals", 0)
+                if self.logger:
+                    self.logger.info(
+                        f"Resumed from epoch {start_epoch} "
+                        f"(best val {best['val']:.4f} @ {best['epoch']})")
+
+        patience = getattr(cfg, "patience", 0)
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        history = []
+        early_stopped = False
+        t_start = time.time()
+        # --profile: jax.profiler trace of post-warmup epochs (the dead
+        # reference flag utils/config.py:97-101, made real).
+        profile_epochs = None
+        if getattr(cfg, "profile", False):
+            profile_epochs = (start_epoch + 1,
+                              min(start_epoch + 4, cfg.epochs))
+        epoch = start_epoch - 1
+        for epoch in range(start_epoch, cfg.epochs):
+            if profile_epochs and epoch == profile_epochs[0]:
+                jax.profiler.start_trace(f"{cfg.path}/profile")
+            rng, step_rng = jax.random.split(rng)
+            t0 = time.time()
+            state, loss = self._jit_step(state, step_rng)
+            if getattr(cfg, "timing", False):
+                loss.block_until_ready()
+                if epoch == start_epoch + 1 and \
+                        hasattr(self, "_aggregation_probe"):
+                    self._aggregation_probe(state, time.time() - t0)
+            step_time = time.time() - t0
+            if profile_epochs and epoch + 1 == profile_epochs[1]:
+                loss.block_until_ready()
+                jax.profiler.stop_trace()
+                profile_epochs = None
+                if self.logger:
+                    self.logger.info(f"Profile trace in {cfg.path}/profile")
+
+            if (epoch % max(1, getattr(cfg, "eval_every", 1))) == 0 \
+                    or epoch == cfg.epochs - 1:
+                train_acc, val_acc, test_acc = self.evaluate_masks(state)
+                if val_acc > best["val"]:
+                    best.update(val=val_acc, test=test_acc, epoch=epoch)
+                    bad_evals = 0
+                else:
+                    bad_evals += 1
+                loss_f = float(loss)
+                history.append(dict(epoch=epoch, loss=loss_f,
+                                    train=train_acc, val=val_acc,
+                                    test=test_acc))
+                if self.writer:
+                    self.writer.add_scalar("train/loss", loss_f, epoch)
+                    self.writer.add_scalar("train/train_acc", train_acc,
+                                           epoch)
+                    self.writer.add_scalar("train/val_acc", val_acc, epoch)
+                    self.writer.add_scalar("train/test_acc", test_acc, epoch)
+                if self.logger and (epoch % max(1, getattr(
+                        cfg, "log_every", 1)) == 0):
+                    msg = (f"Epoch {epoch:04d}/{cfg.epochs:04d}| "
+                           f"Loss {loss_f:.4f} | "
+                           f"Train Accuracy {train_acc:.4f} | "
+                           f"Val Accuracy {val_acc:.4f} | "
+                           f"Test Accuracy {test_acc:.4f} | "
+                           f"Best val. Accuracy {best['val']:.4f} | "
+                           f"Best test Accuracy {best['test']:.4f}")
+                    if getattr(cfg, "timing", False):
+                        msg += f" | step {step_time*1e3:.1f}ms"
+                    self.logger.info(msg)
+                if patience and bad_evals >= patience:
+                    early_stopped = True
+                    if self.logger:
+                        self.logger.info(
+                            f"Early stop at epoch {epoch}: no val "
+                            f"improvement in {patience} evals "
+                            f"(best {best['val']:.4f} @ {best['epoch']})")
+
+            if ckpt and getattr(cfg, "save_every", 0) \
+                    and ((epoch + 1) % cfg.save_every == 0 or early_stopped):
+                ckpt.save(epoch + 1, state,
+                          extra=dict(best_val=best["val"],
+                                     best_test=best["test"],
+                                     best_epoch=best["epoch"],
+                                     bad_evals=bad_evals))
+            if early_stopped:
+                break
+
+        if ckpt:
+            ckpt.close()
+        _, _, final_test = self.evaluate_masks(state)
+        if self.logger:
+            total = time.time() - t_start
+            self.logger.info(f"Training done in {total:.1f}s; "
+                             f"final test {final_test:.4f}")
+        results = TrainResults(
+            best_val=best["val"], best_test=best["test"],
+            final_test=final_test, best_epoch=best["epoch"],
+            epochs_run=epoch + 1 - start_epoch, history=history,
+            early_stopped=early_stopped)
+        self._save_final_results(results)
+        return results
+
+    def _save_final_results(self, results: TrainResults) -> None:
+        """Final {config, results} artifact — the reference integrated
+        driver's torch.save blob (maxk_gnn_integrated.py:329-333), as JSON
+        (model weights live in the Orbax checkpoints)."""
+        import json
+        path = getattr(self.config, "path", None)
+        if not path:
+            return
+        blob = dict(config={k: str(v) for k, v in
+                            sorted(vars(self.config).items())},
+                    results={k: v for k, v in
+                             dataclasses.asdict(results).items()
+                             if k != "history"},
+                    history=results.history)
+        try:
+            with open(f"{path}/final_results.json", "w") as f:
+                json.dump(blob, f, indent=2, default=float)
+        except OSError as e:
+            if self.logger:
+                self.logger.warning(f"could not save final results: {e}")
+
+
+class Trainer(FitLoop):
     """One-object training stack: model, optimizer, jitted step, eval."""
 
     def __init__(self, config, dataset: Dataset, logger=None, writer=None,
@@ -163,85 +321,29 @@ class Trainer:
             metrics_lib.evaluate_logits(logits, ds.labels, m, ds.metric)
             for m in (ds.train_mask, ds.val_mask, ds.test_mask))
 
-    # -- driver ----------------------------------------------------------------
+    # -- timing hook -----------------------------------------------------------
 
-    def fit(self, state: Optional[TrainState] = None) -> TrainResults:
-        cfg = self.config
-        state = state or self.init_state()
-        start_epoch = int(state.epoch)
-
-        ckpt = None
-        best = {"val": 0.0, "test": 0.0, "epoch": -1}
-        if getattr(cfg, "save_every", 0) or getattr(cfg, "resume", False):
-            ckpt = CheckpointManager(f"{cfg.path}/ckpt")
-            if getattr(cfg, "resume", False) and ckpt.latest_step() is not None:
-                state, start_epoch = ckpt.restore(state)
-                if self.logger:
-                    self.logger.info(f"Resumed from epoch {start_epoch}")
-
-        rng = jax.random.PRNGKey(cfg.seed + 1)
-        history = []
-        t_start = time.time()
-        # --profile: jax.profiler trace of post-warmup epochs (the dead
-        # reference flag utils/config.py:97-101, made real).
-        profile_epochs = None
-        if getattr(cfg, "profile", False):
-            profile_epochs = (start_epoch + 1,
-                              min(start_epoch + 4, cfg.epochs))
-        for epoch in range(start_epoch, cfg.epochs):
-            if profile_epochs and epoch == profile_epochs[0]:
-                jax.profiler.start_trace(f"{cfg.path}/profile")
-            rng, step_rng = jax.random.split(rng)
-            t0 = time.time()
-            state, loss = self._jit_step(state, step_rng)
-            if getattr(cfg, "timing", False):
-                loss.block_until_ready()
-            step_time = time.time() - t0
-            if profile_epochs and epoch + 1 == profile_epochs[1]:
-                loss.block_until_ready()
-                jax.profiler.stop_trace()
-                profile_epochs = None
-                if self.logger:
-                    self.logger.info(f"Profile trace in {cfg.path}/profile")
-
-            if (epoch % max(1, getattr(cfg, "eval_every", 1))) == 0 \
-                    or epoch == cfg.epochs - 1:
-                train_acc, val_acc, test_acc = self.evaluate_masks(state)
-                if val_acc > best["val"]:
-                    best.update(val=val_acc, test=test_acc, epoch=epoch)
-                loss_f = float(loss)
-                history.append(dict(epoch=epoch, loss=loss_f,
-                                    train=train_acc, val=val_acc,
-                                    test=test_acc))
-                if self.writer:
-                    self.writer.add_scalar("train/loss", loss_f, epoch)
-                    self.writer.add_scalar("train/train_acc", train_acc, epoch)
-                    self.writer.add_scalar("train/val_acc", val_acc, epoch)
-                    self.writer.add_scalar("train/test_acc", test_acc, epoch)
-                if self.logger and (epoch % max(1, cfg.log_every) == 0):
-                    msg = (f"Epoch {epoch:04d}/{cfg.epochs:04d}| "
-                           f"Loss {loss_f:.4f} | "
-                           f"Train Accuracy {train_acc:.4f} | "
-                           f"Val Accuracy {val_acc:.4f} | "
-                           f"Test Accuracy {test_acc:.4f} | "
-                           f"Best val. Accuracy {best['val']:.4f} | "
-                           f"Best test Accuracy {best['test']:.4f}")
-                    if getattr(cfg, "timing", False):
-                        msg += f" | step {step_time*1e3:.1f}ms"
-                    self.logger.info(msg)
-
-            if ckpt and getattr(cfg, "save_every", 0) \
-                    and (epoch + 1) % cfg.save_every == 0:
-                ckpt.save(epoch + 1, state)
-
-        if ckpt:
-            ckpt.close()
-        _, _, final_test = self.evaluate_masks(state)
+    def _aggregation_probe(self, state: TrainState, step_s: float) -> None:
+        """Report the aggregation (SpMM) share of one training step — the
+        reference integrated driver's aggregation-time fraction report
+        (maxk_gnn_integrated.py:214-220, whose model method is missing)."""
+        from maxk_tpu.ops.spmm import spmm_t
+        g = (self.graphs.g_mean or self.graphs.g_sym or self.graphs.g_sum)
+        g_t = (self.graphs.g_mean_t or self.graphs.g_sym_t
+               or self.graphs.g_sum_t)
+        h = jnp.ones((self.dataset.csr.n_nodes, self.config.hidden_dim),
+                     jnp.float32)
+        agg = jax.jit(spmm_t)
+        agg(g, g_t, h).block_until_ready()          # compile
+        n_layers = self.config.hidden_layers
+        t0 = time.time()
+        for _ in range(n_layers):
+            out = agg(g, g_t, h)
+        out.block_until_ready()
+        agg_s = time.time() - t0
         if self.logger:
-            total = time.time() - t_start
-            self.logger.info(f"Training done in {total:.1f}s; "
-                             f"final test {final_test:.4f}")
-        return TrainResults(best_val=best["val"], best_test=best["test"],
-                            final_test=final_test, best_epoch=best["epoch"],
-                            epochs_run=cfg.epochs - start_epoch,
-                            history=history)
+            self.logger.info(
+                f"Aggregation time: {agg_s*1e3:.1f} ms of "
+                f"{step_s*1e3:.1f} ms step "
+                f"({100.0*agg_s/max(step_s, 1e-9):.1f}% — forward only; "
+                f"backward aggregation roughly doubles it)")

@@ -102,6 +102,20 @@ def main():
                   hidden_layers=args.layers, maxk=args.maxk, n_devices=n)
         mesh = make_graph_mesh(n)
         tr = DistTrainer(cfg, ds, mesh=mesh)
+        # Neighbor-selective halo: actual exchange payload vs the old
+        # full-node-space all-gather. halo_rows tracks the edge cut (max
+        # remote rows any pair needs), NOT V — the scaling payoff.
+        st = tr.sharded._any
+        if st.send_idx is not None:
+            halo_dense = n * n * st.halo_rows * args.hidden * 4
+            halo_cbsr = n * n * st.halo_rows * 3 * args.maxk
+            ag_dense = n * st.n_nodes_padded * args.hidden * 4
+            print(json.dumps(dict(
+                devices=n, halo_rows=st.halo_rows,
+                rows_per_shard=st.rows_per_shard,
+                halo_exchange_dense_mb=round(halo_dense / 1e6, 3),
+                halo_exchange_cbsr_mb=round(halo_cbsr / 1e6, 3),
+                old_allgather_mb=round(ag_dense / 1e6, 3))))
         state = tr.init_state_concrete(graphs_single, feats_single)
         rng = jax.random.PRNGKey(0)
         state, loss = tr.train_step(state, rng)   # compile + step 1

@@ -153,3 +153,71 @@ def test_spgemm_forward_cbsr_api(small_graph):
     y = spgemm_forward_cbsr(g, v, s, d, compute_dtype=jnp.float32)
     ref = spmm_dense_oracle(small_graph, np.asarray(maxk(x, k)))
     np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_rowscale_int8_forward_accuracy(skewed_graph):
+    """Production fast path: per-row int8 gather table. Structure must be
+    exact (flagged elements == 0 at the reference's 0.1 threshold) and the
+    quantization error small (the reference's own CBSR kernel quantizes
+    activations to uint8 as well, cuda_kernel_bindings.cpp:211-231)."""
+    import jax.numpy as jnp
+    from maxk_tpu.ops.cbsr import cbsr_topk, cbsr_expand
+    from maxk_tpu.ops.spgemm import spgemm_forward_cbsr
+    from maxk_tpu.ops.spmm import spmm_dense_oracle
+    from maxk_tpu.ops.graph import build_tiled_graph
+
+    csr = skewed_graph
+    g = build_tiled_graph(csr)
+    x = np.random.default_rng(9).uniform(
+        0, 1, size=(csr.n_nodes, 256)).astype(np.float32)
+    for k in (8, 32):
+        v, s = cbsr_topk(jnp.asarray(x), k)
+        y = np.asarray(spgemm_forward_cbsr(
+            g, v, s, 256, compute_dtype="int8_rowscale"), np.float64)
+        ref = spmm_dense_oracle(csr, np.asarray(cbsr_expand(v, s, 256)))
+        scale = max(1.0, np.abs(ref).mean())
+        err = np.abs(y - ref) / scale
+        assert (err > 0.1).sum() == 0
+        assert err.mean() < 5e-3
+
+
+def test_rowscale_int8_parted():
+    """Row-scaled int8 path over a column-parted graph."""
+    import jax.numpy as jnp
+    from maxk_tpu.ops.cbsr import cbsr_topk, cbsr_expand
+    from maxk_tpu.ops.spgemm import spgemm_forward_cbsr
+    from maxk_tpu.ops.spmm import spmm_dense_oracle
+    from maxk_tpu.ops.graph import build_tiled_graph, PartedGraph
+    from conftest import random_graph
+
+    csr = random_graph(600, 12.0, seed=11)
+    g = build_tiled_graph(csr, col_part_rows=256)
+    assert isinstance(g, PartedGraph)
+    x = np.random.default_rng(10).uniform(
+        0, 1, size=(csr.n_nodes, 128)).astype(np.float32)
+    v, s = cbsr_topk(jnp.asarray(x), 16)
+    y = np.asarray(spgemm_forward_cbsr(
+        g, v, s, 128, compute_dtype="int8_rowscale"), np.float64)
+    ref = spmm_dense_oracle(csr, np.asarray(cbsr_expand(v, s, 128)))
+    scale = max(1.0, np.abs(ref).mean())
+    assert (np.abs(y - ref) / scale).mean() < 5e-3
+
+
+def test_cbsr_gather_mode_optin(small_graph, monkeypatch):
+    """The CBSR-operand tile-expand formulation (opt-in) stays exact."""
+    import maxk_tpu.ops.spgemm as spgemm_mod
+    import jax.numpy as jnp
+    from maxk_tpu.ops.cbsr import cbsr_topk, cbsr_expand
+    from maxk_tpu.ops.spmm import spmm_dense_oracle
+    from maxk_tpu.ops.graph import build_tiled_graph
+
+    monkeypatch.setattr(spgemm_mod, "CBSR_GATHER_MODE", True)
+    csr = small_graph
+    g = build_tiled_graph(csr)
+    x = np.random.default_rng(12).normal(
+        size=(csr.n_nodes, 64)).astype(np.float32)
+    v, s = cbsr_topk(jnp.asarray(x), 7)   # odd k exercises the k-padding
+    y = np.asarray(spgemm_mod.spgemm_forward_cbsr(
+        g, v, s, 64, compute_dtype=jnp.float32))
+    ref = spmm_dense_oracle(csr, np.asarray(cbsr_expand(v, s, 64)))
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)

@@ -172,3 +172,79 @@ def test_dist_fit_learns(mesh, tmp_path):
                       edge_tile=32).fit()
     assert res.history[0]["loss"] > res.history[-1]["loss"]
     assert res.best_val > 0.5
+
+
+def test_halo_matches_allgather(mesh):
+    """Neighbor-selective halo exchange == full all-gather execution."""
+    csr = random_graph(200, 10.0, seed=41)
+    x = np.random.default_rng(5).normal(size=(200, 32)).astype(np.float32)
+    outs = {}
+    for halo in (True, False):
+        st = shard_graph(csr, N_DEV, row_block=8, edge_tile=32, halo=halo)
+        x_pad = jnp.asarray(shard_node_array(x, st.n_nodes_padded))
+
+        def f(tiles, xs):
+            return spmm(tiles.local(GRAPH_AXIS), xs,
+                        compute_dtype=jnp.float32)
+
+        outs[halo] = np.asarray(jax.jit(jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P(GRAPH_AXIS), st),
+                      P(GRAPH_AXIS)),
+            out_specs=P(GRAPH_AXIS), check_vma=False))(st, x_pad))[:200]
+    assert shard_graph(csr, N_DEV, halo=True,
+                       row_block=8, edge_tile=32).send_idx is not None
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(outs[True], spmm_dense_oracle(csr, x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_halo_locality_no_cross_edges(mesh):
+    """A block-diagonal graph (each shard's edges fully local) needs no
+    collective at all: the plan reports zero halo rows."""
+    rng = np.random.default_rng(7)
+    n, per = 160, 20          # 8 shards x 20 rows (row_block=4 -> rps=20)
+    src = np.concatenate([rng.integers(s * per, (s + 1) * per, 100)
+                          for s in range(8)])
+    dst = np.concatenate([rng.integers(s * per, (s + 1) * per, 100)
+                          for s in range(8)])
+    from maxk_tpu.ops.graph import CSRGraph
+    csr = CSRGraph.from_coo(src, dst.astype(np.int32), n)
+    st = shard_graph(csr, N_DEV, row_block=4, edge_tile=16, halo=True)
+    assert st.send_idx is None and st.halo_rows == 0
+    g_local = st.local(GRAPH_AXIS)
+    assert g_local.gather_axis is None and g_local.halo is None
+
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    x_pad = jnp.asarray(shard_node_array(x, st.n_nodes_padded))
+    out = jax.jit(jax.shard_map(
+        lambda t, xs: spmm(t.local(GRAPH_AXIS), xs,
+                           compute_dtype=jnp.float32),
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(GRAPH_AXIS), st), P(GRAPH_AXIS)),
+        out_specs=P(GRAPH_AXIS), check_vma=False))(st, x_pad)
+    np.testing.assert_allclose(np.asarray(out)[:n],
+                               spmm_dense_oracle(csr, x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_halo_rows_scale_with_edge_cut(mesh):
+    """Mostly-local partition: halo rows must be far below rows_per_shard
+    (the all-gather equivalent)."""
+    rng = np.random.default_rng(8)
+    n, per = 320, 40
+    # 95% intra-cluster edges, 5% cross.
+    src_l = np.concatenate([rng.integers(s * per, (s + 1) * per, 380)
+                            for s in range(8)])
+    dst_l = np.concatenate([rng.integers(s * per, (s + 1) * per, 380)
+                            for s in range(8)])
+    src_x = rng.integers(0, n, 160)
+    dst_x = rng.integers(0, n, 160)
+    from maxk_tpu.ops.graph import CSRGraph
+    csr = CSRGraph.from_coo(np.concatenate([src_l, src_x]),
+                            np.concatenate([dst_l, dst_x]).astype(np.int32),
+                            n)
+    st = shard_graph(csr, N_DEV, row_block=8, edge_tile=32, halo=True)
+    assert st.send_idx is not None
+    # ~20 cross edges per (src, dst) pair -> halo_rows ~ tens, not 40.
+    assert st.halo_rows < st.rows_per_shard

@@ -178,3 +178,38 @@ def test_parted_fused_maxk_spgemm_and_grad(skewed_graph):
     gdense = jax.grad(loss_dense)(xj)
     np.testing.assert_allclose(np.asarray(gfused), np.asarray(gdense),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_gnna_neighbor_groups_match_unweighted_sum(skewed_graph):
+    """The GNNAdvisor-analog baseline (neighbor groups + scatter flush)
+    must equal the unweighted neighbor sum (reference spmm_gnna.cu is the
+    SAG kernel: pure sum, ignores edge values)."""
+    import jax.numpy as jnp
+    from maxk_tpu.ops.gnna import build_parts, spmm_gnna
+    from maxk_tpu.ops.spmm import spmm_dense_oracle
+
+    csr = skewed_graph.with_values(
+        np.ones(skewed_graph.n_edges, np.float32))
+    x = np.random.default_rng(3).normal(
+        size=(csr.n_nodes, 64)).astype(np.float32)
+    parts = build_parts(csr)
+    assert parts.part_size == max(1, int(round(csr.avg_degree)))
+    # every real edge appears exactly once across groups
+    assert int(parts.weight.sum()) == csr.n_edges
+    out = np.asarray(spmm_gnna(parts, jnp.asarray(x)))
+    ref = spmm_dense_oracle(csr, x)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_gnna_small_part_size(small_graph):
+    import jax.numpy as jnp
+    from maxk_tpu.ops.gnna import build_parts, spmm_gnna
+    from maxk_tpu.ops.spmm import spmm_dense_oracle
+    csr = small_graph.with_values(np.ones(small_graph.n_edges, np.float32))
+    x = np.random.default_rng(4).normal(
+        size=(csr.n_nodes, 32)).astype(np.float32)
+    for ps in (1, 3, 7):
+        parts = build_parts(csr, part_size=ps)
+        out = np.asarray(spmm_gnna(parts, jnp.asarray(x)))
+        np.testing.assert_allclose(out, spmm_dense_oracle(csr, x),
+                                   rtol=2e-4, atol=2e-4)

@@ -129,6 +129,7 @@ class _Cfg:
     save_every: int = 0
     resume: bool = False
     timing: bool = False
+    patience: int = 0
 
 
 @pytest.mark.parametrize("model", ["sage", "gcn"])
@@ -180,3 +181,49 @@ def test_lookahead_end_to_end(tmp_path):
                maxk=4, hidden_dim=16)
     res = Trainer(cfg, ds).fit()
     assert res.history[0]["loss"] > res.history[-1]["loss"]
+
+
+def test_checkpoint_resume_preserves_best(tmp_path):
+    """Best-val trackers and the patience counter survive resume
+    (CheckpointManager extra blob)."""
+    ds = make_synthetic_dataset(n_nodes=120, avg_degree=6.0, n_classes=3,
+                                in_size=8, seed=55)
+    cfg = _Cfg(path=str(tmp_path), epochs=4, save_every=2, maxk=4,
+               hidden_dim=16, hidden_layers=2, eval_every=1)
+    tr = Trainer(cfg, ds)
+    res1 = tr.fit()
+
+    cfg2 = _Cfg(path=str(tmp_path), epochs=6, save_every=2, resume=True,
+                maxk=4, hidden_dim=16, hidden_layers=2, eval_every=1)
+    tr2 = Trainer(cfg2, ds)
+    res2 = tr2.fit()
+    # resumed run starts from epoch 4 and must not forget the best-val
+    assert res2.epochs_run == 2
+    assert res2.best_val >= res1.best_val
+
+
+def test_patience_early_stop(tmp_path):
+    """With lr=0 the val metric never improves after the first eval, so
+    patience=1 stops on the second eval (reference integrated-driver
+    semantics, maxk_gnn_integrated.py:166-209)."""
+    ds = make_synthetic_dataset(n_nodes=100, avg_degree=5.0, n_classes=3,
+                                in_size=8, seed=56)
+    cfg = _Cfg(path=str(tmp_path), epochs=50, w_lr=0.0, patience=1,
+               maxk=4, hidden_dim=16, hidden_layers=1, eval_every=1)
+    res = Trainer(cfg, ds).fit()
+    assert res.early_stopped
+    assert res.epochs_run <= 3
+
+
+def test_final_results_artifact(tmp_path):
+    import json, os
+    ds = make_synthetic_dataset(n_nodes=100, avg_degree=5.0, n_classes=3,
+                                in_size=8, seed=57)
+    cfg = _Cfg(path=str(tmp_path), epochs=2, maxk=4, hidden_dim=16,
+               hidden_layers=1, eval_every=1)
+    res = Trainer(cfg, ds).fit()
+    blob = json.load(open(os.path.join(str(tmp_path),
+                                       "final_results.json")))
+    assert blob["results"]["best_val"] == res.best_val
+    assert blob["config"]["epochs"] == "2"
+    assert len(blob["history"]) == len(res.history)

@@ -19,6 +19,13 @@ from maxk_tpu.data.datasets import load_dataset
 
 
 def main():
+    # The axon sitecustomize overwrites JAX_PLATFORMS at import time;
+    # re-assert the user's env choice via jax.config (works pre-backend).
+    envp = os.environ.get("JAX_PLATFORMS")
+    if envp:
+        import jax
+        jax.config.update("jax_platforms", envp)
+
     config = TrainConfig().parse_args()
     np.random.seed(config.seed)
 
@@ -31,6 +38,11 @@ def main():
 
     import jax
     logger.info(f"backend={jax.default_backend()} devices={jax.devices()}")
+    if jax.default_backend() == "cpu" and config.compute_dtype == "bfloat16":
+        logger.info("hint: bfloat16 matmuls are software-emulated on the "
+                    "CPU backend (very slow; XLA's collective watchdog can "
+                    "abort multi-device runs) — pass --compute_dtype "
+                    "float32 for CPU validation runs")
 
     dataset = load_dataset(config.dataset, config.data_path,
                            selfloop=config.selfloop, seed=config.seed)
@@ -39,7 +51,16 @@ def main():
         f"E={dataset.csr.n_edges} F={dataset.in_size} "
         f"classes={dataset.num_classes} multilabel={dataset.multilabel}")
 
-    trainer = Trainer(config, dataset, logger=logger, writer=writer)
+    if getattr(config, "n_devices", 0) > 1:
+        # Row-partitioned multi-chip training over the graph mesh with
+        # neighbor-selective halo exchange (maxk_tpu.parallel).
+        from maxk_tpu.parallel.dist_train import DistTrainer
+        trainer = DistTrainer(config, dataset, logger=logger, writer=writer)
+        logger.info(f"distributed trainer: {trainer.n_shards}-device mesh, "
+                    f"halo exchange "
+                    f"{'on' if trainer.sharded._any.send_idx is not None else 'off (no cross-shard edges)'}")
+    else:
+        trainer = Trainer(config, dataset, logger=logger, writer=writer)
 
     if config.evaluate:
         # Evaluate-only mode: restore the latest checkpoint under the given

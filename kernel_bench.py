@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--ks", type=int, nargs="+", default=[16, 32, 64])
     ap.add_argument("--no-validate", action="store_true")
     ap.add_argument("--no-gnna", action="store_true")
+    ap.add_argument("--large", action="store_true",
+                    help="include reddit/products-scale synthetic shapes "
+                         "(minutes of host tiling + GBs of transfer)")
     ap.add_argument("--json", default=None, help="write results JSON here")
     args = ap.parse_args()
 
@@ -45,7 +48,7 @@ def main():
         else:
             print(f"# no binary graphs under {args.graphs}; "
                   f"using synthetic suite", file=sys.stderr)
-            graphs = synthetic_suite()
+            graphs = synthetic_suite(large=args.large)
 
     print("num graph dim_origin dim_k kernel time(ms)")
     results = []

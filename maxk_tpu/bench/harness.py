@@ -239,9 +239,18 @@ def analyze_speedups(results: Sequence[GraphBenchResult],
     return summary
 
 
-def synthetic_suite(seed: int = 123) -> list[tuple[str, "CSRGraph"]]:
+def synthetic_suite(seed: int = 123,
+                    large: bool = False) -> list[tuple[str, "CSRGraph"]]:
     """Stand-in suite when the 24-graph binary dumps are not on disk:
-    seeded power-law graphs spanning the reference suite's degree range."""
+    seeded power-law graphs spanning the reference suite's degree range.
+
+    large=True appends shapes from the top of the reference 24-graph
+    range (reddit: V=233k avg-deg ~492; ogbn-products: V=2.4M avg-deg
+    ~51 — kernels/main.cu suite) so the column-partitioned gather path
+    (PartedGraph, engaged above 131072 nodes) is exercised at the scale
+    it was built for. These take minutes to generate/tile on host and
+    gigabytes of device transfer — opt-in via kernel_bench --large.
+    """
     from maxk_tpu.data.loaders import synthetic_graph
     specs = [
         ("syn_small_d8", 8192, 8.0), ("syn_small_d64", 8192, 64.0),
@@ -249,4 +258,9 @@ def synthetic_suite(seed: int = 123) -> list[tuple[str, "CSRGraph"]]:
         ("syn_mid_d128", 65536, 128.0), ("syn_big_d32", 262144, 32.0),
         ("syn_big_d100", 131072, 100.0),
     ]
+    if large:
+        specs += [
+            ("syn_reddit_shape", 232965, 246.0),   # E ~ 115M after sym
+            ("syn_products_shape", 2449029, 25.5),  # E ~ 124M after sym
+        ]
     return [(n, synthetic_graph(v, d, seed=seed)) for n, v, d in specs]

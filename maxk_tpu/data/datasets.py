@@ -117,20 +117,25 @@ def _load_npz(name: str, data_path: str) -> Dataset:
 
 def make_synthetic_dataset(n_nodes: int = 2048, avg_degree: float = 12.0,
                            n_classes: int = 8, in_size: int = 64,
-                           seed: int = 0) -> Dataset:
+                           seed: int = 0, feature_noise: float = 1.5,
+                           rewire_p: float = 0.6,
+                           train_frac: float = 0.6) -> Dataset:
     """Learnable synthetic node classification.
 
     Labels are planted cluster ids; features are noisy label prototypes, and
     edges are rewired to prefer same-label endpoints, so both the feature
-    path and the aggregation path carry signal.
+    path and the aggregation path carry signal. Higher feature_noise /
+    lower train_frac make the task harder (used by the golden-accuracy
+    recipe, tools/golden_accuracy.py, so accuracies stay off the 1.0
+    ceiling and discriminate between k values).
     """
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, n_classes, size=n_nodes)
     g = synthetic_graph(n_nodes, avg_degree, seed=seed, power_law=True)
     rows, cols = g.to_coo()
-    # Rewire ~60% of cross-label edges to a random same-label target.
+    # Rewire cross-label edges to a random same-label target w.p. rewire_p.
     cross = labels[rows] != labels[cols]
-    rewire = cross & (rng.uniform(size=len(rows)) < 0.6)
+    rewire = cross & (rng.uniform(size=len(rows)) < rewire_p)
     for c in range(n_classes):
         members = np.nonzero(labels == c)[0]
         sel = rewire & (labels[rows] == c)
@@ -138,11 +143,12 @@ def make_synthetic_dataset(n_nodes: int = 2048, avg_degree: float = 12.0,
     csr = CSRGraph.from_coo(rows, cols.astype(np.int32), n_nodes)
 
     prototypes = rng.normal(size=(n_classes, in_size)).astype(np.float32)
-    feat = (prototypes[labels]
-            + 1.5 * rng.normal(size=(n_nodes, in_size))).astype(np.float32)
+    feat = (prototypes[labels] + feature_noise
+            * rng.normal(size=(n_nodes, in_size))).astype(np.float32)
 
     idx = rng.permutation(n_nodes)
-    n_tr, n_va = int(0.6 * n_nodes), int(0.2 * n_nodes)
+    n_tr = int(train_frac * n_nodes)
+    n_va = int(min(0.2, (1.0 - train_frac) / 2) * n_nodes)
     train_mask = np.zeros(n_nodes, bool)
     val_mask = np.zeros(n_nodes, bool)
     test_mask = np.zeros(n_nodes, bool)

@@ -31,9 +31,19 @@ relayout limitation: broadcasting a dynamically-selected (1, C) VMEM row
 across sublanes fails with "Invalid relayout: Non-singleton logical
 dimension is replicated in destination but not in source" for every
 formulation tried (direct (R,C) compare, fori-chunked (R,512) compare,
-broadcast_to vs implicit broadcasting). The XLA path (ops.spmm) is the
-production backend; by the roofline audit it already sits within ~10% of
-the serial machine model, the gap being gather time Pallas cannot improve.
+broadcast_to vs implicit broadcasting).
+
+Round-2 attempts (tools/probe_pallas.py) closed the remaining avenues:
+- (R, C//128, 128) blocks with the one-hot broadcast over a NEW LEADING
+  dim + multi-dim dot_general: 'tpu.matmul' rejects >1 contracting dims;
+- per-128-lane-group (R, 128) one-hot from a lane vector: the lane->
+  sublane replication is the same blocked relayout.
+Even with a compiling kernel the payoff is bounded: the HBM row gather
+(~85% of kernel time at the measured in-kernel 2.8 ns/slot,
+tools/probe_kernels.py) cannot be expressed in Mosaic at all
+(dynamic_gather shape-equality rule; per-row DMA issue ~10x slower), so
+Pallas could only overlap the minor matmul/accumulate phases. The XLA
+path (ops.spmm) is the production backend.
 """
 
 from __future__ import annotations

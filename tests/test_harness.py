@@ -36,7 +36,7 @@ def test_output_protocol(bench_result):
         float(parts[5])
         kernels.setdefault(parts[4], []).append(int(parts[3]))
     assert "baseline_spmm" in kernels
-    assert "gnna_sum" in kernels
+    assert "gnna_sag" in kernels
     assert sorted(kernels["maxk"]) == [8, 16]
     assert sorted(kernels["maxk_backward"]) == [8, 16]
     assert sorted(kernels["topk"]) == [8, 16]

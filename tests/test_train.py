@@ -130,6 +130,7 @@ class _Cfg:
     resume: bool = False
     timing: bool = False
     patience: int = 0
+    compute_dtype: str = "bfloat16"
 
 
 @pytest.mark.parametrize("model", ["sage", "gcn"])
@@ -227,3 +228,23 @@ def test_final_results_artifact(tmp_path):
     assert blob["results"]["best_val"] == res.best_val
     assert blob["config"]["epochs"] == "2"
     assert len(blob["history"]) == len(res.history)
+
+
+def test_golden_synthetic_accuracy(tmp_path):
+    """Regression guard for the committed golden table (BASELINE.md):
+    the hard synthetic recipe at maxk k=8 must reach its recorded
+    best-val within a small tolerance (full table regenerated by
+    tools/golden_accuracy.py)."""
+    from maxk_tpu.data.datasets import make_synthetic_dataset
+    ds = make_synthetic_dataset(n_nodes=4096, avg_degree=16.0,
+                                n_classes=12, in_size=64, seed=97,
+                                feature_noise=4.0, rewire_p=0.7,
+                                train_frac=0.05)
+    cfg = _Cfg(path=str(tmp_path), model="sage", hidden_dim=64,
+               hidden_layers=3, dropout=0.2, norm=True, nonlinear="maxk",
+               maxk=8, epochs=80, w_lr=0.01, eval_every=5, patience=10,
+               log_every=1000, compute_dtype="float32")
+    res = Trainer(cfg, ds).fit()
+    # Golden best_val 0.9915 at epoch 135 with a 150-epoch budget; by
+    # epoch 80 the run is within a few points of it.
+    assert res.best_val > 0.93

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Golden accuracy runs for the synthetic recipe: SAGE on the seeded
+synthetic dataset across k in {8,16,32,64} and relu.
+
+The no-egress environment cannot reach the 5 reference datasets, so the
+regression anchor for training accuracy is this fully-deterministic
+synthetic recipe (seed 97 dataset + seed 97 init, float32 compute). The
+resulting best-val/best-test table is committed to BASELINE.md and
+guarded by tests/test_train.py::test_golden_synthetic_accuracy.
+
+Run: JAX_PLATFORMS=cpu python tools/golden_accuracy.py
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import os
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+@dataclasses.dataclass
+class Cfg:
+    dataset: str = "synthetic"
+    model: str = "sage"
+    hidden_dim: int = 64
+    hidden_layers: int = 3
+    dropout: float = 0.2
+    norm: bool = True
+    nonlinear: str = "maxk"
+    maxk: int = 32
+    epochs: int = 150
+    w_lr: float = 0.01
+    w_weight_decay: float = 0.0
+    enable_lookahead: bool = False
+    seed: int = 97
+    selfloop: bool = False
+    path: str = "/tmp/golden_acc"
+    log_every: int = 1000
+    eval_every: int = 5
+    save_every: int = 0
+    resume: bool = False
+    timing: bool = False
+    patience: int = 10          # integrated-driver style early stop
+    n_devices: int = 0
+    compute_dtype: str = "float32"
+
+
+def main():
+    from maxk_tpu.data.datasets import make_synthetic_dataset
+    from maxk_tpu.train.loop import Trainer
+
+    # Hard variant: high feature noise + 5% labeled nodes, so the model
+    # must lean on aggregation and accuracies stay off the 1.0 ceiling.
+    ds = make_synthetic_dataset(n_nodes=4096, avg_degree=16.0,
+                                n_classes=12, in_size=64, seed=97,
+                                feature_noise=4.0, rewire_p=0.7,
+                                train_frac=0.05)
+    rows = []
+    cases = [("maxk", k) for k in (8, 16, 32, 64)] + [("relu", 0)]
+    for nonlinear, k in cases:
+        cfg = Cfg(nonlinear=nonlinear, maxk=k or 32,
+                  path=f"/tmp/golden_acc_{nonlinear}{k}")
+        Path(cfg.path).mkdir(parents=True, exist_ok=True)
+        res = Trainer(cfg, ds).fit()
+        row = dict(nonlinear=nonlinear, k=k or None,
+                   best_val=round(res.best_val, 4),
+                   best_test=round(res.best_test, 4),
+                   best_epoch=res.best_epoch,
+                   epochs_run=res.epochs_run,
+                   early_stopped=res.early_stopped)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"golden": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Mosaic-compilation experiments for the tile-reduce kernel.
+
+Round-1 blocker: broadcasting a dynamically-selected (1, C) VMEM row
+across sublanes ("Invalid relayout ... replicated in destination but not
+in source"). Candidates here avoid that op:
+
+A. vals/lrow delivered as (1, C//128, 128) BlockSpec blocks (one tile per
+   grid step — no dynamic row select), one-hot built by broadcasting the
+   (C//128, 128) block across a NEW LEADING dim (not across sublanes),
+   contracted with dot_general over the two minor dims.
+B. Same layout, but the one-hot matmul runs per 128-edge lane group with
+   a (R, 128) compare (lrow lane-group broadcast across sublanes from a
+   (8, 128)-aligned block).
+
+Run from /root/repo on the TPU. Prints per-candidate compile/validate
+results.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def make_data(t_tiles=8, c=1024, r=128, d=256, v=4096, seed=0):
+    rng = np.random.default_rng(seed)
+    lrow = rng.integers(0, r + 1, size=(t_tiles, c)).astype(np.int32)
+    vals = rng.uniform(0, 1, size=(t_tiles, c)).astype(np.float32)
+    block = np.sort(rng.integers(0, 4, size=t_tiles)).astype(np.int32)
+    xg = rng.normal(size=(t_tiles * c, d)).astype(np.float32)
+    return (jnp.asarray(lrow), jnp.asarray(vals), jnp.asarray(block),
+            jnp.asarray(xg))
+
+
+def ref_out(lrow, vals, block, xg, r, n_blocks):
+    t_tiles, c = lrow.shape
+    d = xg.shape[1]
+    out = np.zeros((n_blocks * r, d), np.float64)
+    ln = np.asarray(lrow)
+    vn = np.asarray(vals)
+    bn = np.asarray(block)
+    xn = np.asarray(xg, np.float64).reshape(t_tiles, c, d)
+    for t in range(t_tiles):
+        for e in range(c):
+            if ln[t, e] < r:
+                out[bn[t] * r + ln[t, e]] += vn[t, e] * xn[t, e]
+    return out
+
+
+def candidate_a(lrow, vals, block, xg, r, n_blocks, interpret=False):
+    t_tiles, c = lrow.shape
+    d = xg.shape[1]
+    lrow3 = lrow.reshape(t_tiles, c // 128, 128)
+    vals3 = vals.reshape(t_tiles, c // 128, 128)
+    xg3 = xg.reshape(t_tiles, c, d)
+
+    def kernel(blk_ref, lrow_ref, vals_ref, xg_ref, out_ref):
+        t = pl.program_id(0)
+        lr = lrow_ref[0]                       # (C//128, 128)
+        vl = vals_ref[0].astype(jnp.bfloat16)
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (r, c // 128, 128), 0)
+        p = jnp.where(lr[None, :, :] == r_ids, vl[None, :, :],
+                      jnp.zeros((), jnp.bfloat16))
+        x = xg_ref[0].reshape(c // 128, 128, d).astype(jnp.bfloat16)
+        t_out = jax.lax.dot_general(
+            p, x, dimension_numbers=(((1, 2), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        first = jnp.logical_or(t == 0, blk_ref[t] != blk_ref[t - 1])
+
+        @pl.when(first)
+        def _():
+            out_ref[:] = t_out
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[:] = out_ref[:] + t_out
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, c // 128, 128), lambda t, blk: (t, 0, 0)),
+            pl.BlockSpec((1, c // 128, 128), lambda t, blk: (t, 0, 0)),
+            pl.BlockSpec((1, c, d), lambda t, blk: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((r, d), lambda t, blk: (blk[t], 0)),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * r, d), jnp.float32),
+        interpret=interpret,
+    )(block, lrow3, vals3, xg3)
+
+
+def candidate_b(lrow, vals, block, xg, r, n_blocks, interpret=False):
+    t_tiles, c = lrow.shape
+    d = xg.shape[1]
+    lrow3 = lrow.reshape(t_tiles, c // 128, 128)
+    vals3 = vals.reshape(t_tiles, c // 128, 128)
+    xg3 = xg.reshape(t_tiles, c, d)
+
+    def kernel(blk_ref, lrow_ref, vals_ref, xg_ref, out_ref):
+        t = pl.program_id(0)
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 0)
+
+        def body(i, acc):
+            lr = lrow_ref[0, i]                # (128,) lane vector
+            vl = vals_ref[0, i].astype(jnp.bfloat16)
+            p = jnp.where(lr[None, :] == r_ids, vl[None, :],
+                          jnp.zeros((), jnp.bfloat16))     # (R, 128)
+            x = xg_ref[0, pl.ds(i * 128, 128), :].astype(jnp.bfloat16)
+            return acc + jnp.dot(p, x, preferred_element_type=jnp.float32)
+
+        t_out = jax.lax.fori_loop(0, c // 128, body,
+                                  jnp.zeros((r, d), jnp.float32))
+
+        first = jnp.logical_or(t == 0, blk_ref[t] != blk_ref[t - 1])
+
+        @pl.when(first)
+        def _():
+            out_ref[:] = t_out
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[:] = out_ref[:] + t_out
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, c // 128, 128), lambda t, blk: (t, 0, 0)),
+            pl.BlockSpec((1, c // 128, 128), lambda t, blk: (t, 0, 0)),
+            pl.BlockSpec((1, c, d), lambda t, blk: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((r, d), lambda t, blk: (blk[t], 0)),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * r, d), jnp.float32),
+        interpret=interpret,
+    )(block, lrow3, vals3, xg3)
+
+
+def main():
+    import signal
+
+    r, n_blocks = 128, 4
+    lrow, vals, block, xg = make_data(r=r)
+    ref = ref_out(lrow, vals, block, xg, r, n_blocks)
+
+    def handler(signum, frame):
+        raise TimeoutError("compile/run exceeded 150s")
+
+    signal.signal(signal.SIGALRM, handler)
+    for name, fn in (("B_lanegroup_128", candidate_b),
+                     ("A_lead_bcast_dotgen", candidate_a)):
+        signal.alarm(150)
+        try:
+            out = np.asarray(
+                jax.jit(functools.partial(fn, r=r, n_blocks=n_blocks))(
+                    lrow, vals, block, xg))
+            err = np.abs(out - ref).max() / max(1.0, np.abs(ref).mean())
+            print(f"{name}: COMPILES, max_rel_err={err:.2e}", flush=True)
+        except Exception as e:
+            msg = str(e).split("\n")[0][:200]
+            print(f"{name}: FAILS — {type(e).__name__}: {msg}", flush=True)
+        finally:
+            signal.alarm(0)
+
+
+if __name__ == "__main__":
+    main()

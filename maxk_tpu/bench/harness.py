@@ -156,7 +156,12 @@ def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
         # build_part + SAG kernel) — not the tiled production kernel.
         from maxk_tpu.ops.gnna import build_parts, spmm_gnna
         parts = build_parts(csr)
-        gnna = time_fn(lambda: spmm_gnna(parts, xj), warmup=4, runs=4)
+        # Comparator-grade timing (chain=2): the GNNA structure is far
+        # off the production kernel's speed on TPU (no atomics -> the
+        # flush is a segment reduction), so high-precision chaining would
+        # waste minutes per graph.
+        gnna = time_fn(lambda: spmm_gnna(parts, xj), warmup=2, runs=2,
+                       chain=2)
         gnna_ms = gnna.mean_ms
         log(f"0 {name} {dim} {dim} gnna_sag {gnna.mean_ms:.4f}")
 

@@ -149,11 +149,21 @@ class SAGE(nn.Module):
         x = nn.Dense(self.hid_size, kernel_init=_xavier, name="lin_in")(x)
         for i in range(self.num_hid_layers):
             if self.nonlinear == "maxk":
+                # A @ MaxK(x) through the fused op — identical math to
+                # maxk-then-spmm (same lax.top_k selection, same masked
+                # gradient), but in distributed mode the halo exchange
+                # moves CBSR instead of dense rows. fc_self still sees
+                # the POST-MaxK x (published-accuracy semantics,
+                # reference utils/models.py:262-273).
+                x_agg = maxk_spgemm(graphs.g_mean, graphs.g_mean_t, x,
+                                    self.maxk,
+                                    compute_dtype=jnp.dtype(
+                                        self.compute_dtype))
                 x = maxk(x, self.maxk)
             else:
                 x = nn.relu(x)
-            x_agg = spmm_t(graphs.g_mean, graphs.g_mean_t, x,
-                           compute_dtype=jnp.dtype(self.compute_dtype))
+                x_agg = spmm_t(graphs.g_mean, graphs.g_mean_t, x,
+                               compute_dtype=jnp.dtype(self.compute_dtype))
             h_self = nn.Dense(self.hid_size, use_bias=False,
                               kernel_init=_xavier, name=f"fc_self_{i}")(x)
             h_neigh = nn.Dense(self.hid_size, use_bias=False,

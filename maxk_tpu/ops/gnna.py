@@ -86,17 +86,20 @@ def _spmm_gnna_impl(cols, weight, row, x, n_nodes: int, chunk: int):
     d = x.shape[1]
     ccols = cols.reshape(g // chunk, chunk * p)
     cweight = weight.reshape(g // chunk, chunk, p)
-    crow = row.reshape(g // chunk, chunk)
 
-    def step(out, args):
-        tc, tw, tr = args
-        xg = jnp.take(x, tc, axis=0, mode="clip").reshape(chunk, p, d)
-        partial_sums = (tw[:, :, None] * xg).sum(axis=1)   # (chunk, D)
-        return out.at[tr].add(partial_sums, mode="drop"), None
+    def step(i, partials):
+        xg = jnp.take(x, ccols[i], axis=0, mode="clip").reshape(chunk, p, d)
+        ps = (cweight[i][:, :, None] * xg).sum(axis=1)     # (chunk, D)
+        return jax.lax.dynamic_update_slice(partials, ps, (i * chunk, 0))
 
-    out = jnp.zeros((n_nodes, d), x.dtype)
-    out, _ = jax.lax.scan(step, out, (ccols, cweight, crow))
-    return out
+    # Stage 1: per-group partial sums (the SAG kernel's shared-memory
+    # accumulation); stage 2: one sorted segment-sum flush of all
+    # partials into rows (the atomicAdd_F flush, spmm_gnna.cu:125-139,
+    # as a deterministic reduction — groups are emitted row-ordered).
+    partials = jnp.zeros((g, d), x.dtype)
+    partials = jax.lax.fori_loop(0, g // chunk, step, partials)
+    return jax.ops.segment_sum(partials, row, num_segments=n_nodes,
+                               indices_are_sorted=True)
 
 
 def spmm_gnna(parts: NeighborParts, x: jax.Array) -> jax.Array:

@@ -329,47 +329,44 @@ def spgemm_forward_cbsr(g: TiledGraph, values: jax.Array,
 
 def _spgemm_cbsr_halo(g, values: jax.Array, selector: jax.Array,
                       dim: int, compute_dtype) -> jax.Array:
-    """Halo-mode fused forward: exchange the CBSR wire format.
+    """Halo-mode fused forward: exchange the CBSR wire format, expand at
+    node level, run the dense two-phase scan.
 
     Per-pair payload is H * 3k/4 int32 lanes (bf16 value pairs + uint8
     selector quads) instead of H * D f32 — the k-scaled halo compression
-    that is the distributed payoff of MaxK (SURVEY.md section 2.4). The
-    local-tile scan overlaps the all_to_all as in ops.spmm._spmm_halo.
-    For float32 compute (validation) the exchange carries exact f32 values
-    alongside packed selectors.
+    that is the distributed payoff of MaxK (SURVEY.md section 2.4).
+    Expansion happens ONCE per received row (node level), never per edge
+    (the per-tile expand formulation measured ~1.5 ns/edge/channel —
+    see the module note); the expanded tables then run the same
+    local-first overlap structure as ops.spmm._spmm_halo. For float32
+    compute (validation) the exchange carries exact f32 values.
     """
     from maxk_tpu.parallel.halo import halo_exchange
+    from maxk_tpu.ops.spmm import _pack_x, _halo_dense_scans
     spec = g.halo
     cd = jnp.dtype(compute_dtype)
-    if dim > 256 or values.shape[1] > _CBSR_GATHER_MAX_K:
-        # Selector quads need dim <= 256; fall back to exchanging the
-        # (still k-compressed) raw CBSR arrays, then dense-operand SpMM.
-        v_full = halo_exchange(values, spec)
-        s_full = halo_exchange(selector, spec)
-        return spmm(g, cbsr_expand(v_full, s_full, dim),
-                    compute_dtype=compute_dtype)
-    values, selector, k = _cbsr_pad_k(values, selector)
-    nl = spec.n_local_tiles
-    f32 = cd == jnp.float32
-    if f32:
-        v_full = halo_exchange(values, spec)
-        s_full = halo_exchange(selector, spec)
-        tables_local = _split_tables(values) + (_pack_int8_quads(selector),)
-        tables_full = _split_tables(v_full) + (_pack_int8_quads(s_full),)
+    n_local = values.shape[0]
+    x_local = cbsr_expand(values, selector, dim)
+    k0 = values.shape[1]
+    if cd != jnp.float32 and dim <= 256 and k0 <= _CBSR_GATHER_MAX_K:
+        values, selector, k = _cbsr_pad_k(values, selector)
+        table = _cbsr_pack_table(values, selector)       # (n_local, 3k/4)
+        recv = halo_exchange(table, spec)[n_local:]
+        lo, hi = _unpack_bf16_pairs(recv[:, : k // 2])
+        v_r = jnp.concatenate([lo, hi], axis=1)
+        s_r = jnp.concatenate(_unpack_uint8_quads(recv[:, k // 2:]), axis=1)
     else:
-        table = _cbsr_pack_table(values, selector)
-        tables_local = (table,)
-        tables_full = (halo_exchange(table, spec),)
-    out = jnp.zeros((g.n_rows_padded, dim), dtype=jnp.float32)
-    ops_fn = _cbsr_operands_fn(k, dim, cd, f32)
-    if nl:
-        out = _scan_tiles(g.cols[:nl], g.vals[:nl], g.lrow[:nl],
-                          g.block[:nl], tables_local, out, cd, g.row_block,
-                          _cbsr_group(nl, g.edge_tile), ops_fn)
-    if g.n_tiles > nl:
-        out = _scan_tiles(g.cols[nl:], g.vals[nl:], g.lrow[nl:],
-                          g.block[nl:], tables_full, out, cd, g.row_block,
-                          _cbsr_group(g.n_tiles - nl, g.edge_tile), ops_fn)
+        # Exact-value wire (f32 validation / dim > 256): raw CBSR arrays —
+        # still k-compressed relative to dense rows.
+        v_r = halo_exchange(values, spec)[n_local:]
+        s_r = halo_exchange(selector, spec)[n_local:]
+    x_recv = cbsr_expand(v_r, s_r, dim)
+    x_full = jnp.concatenate([x_local, x_recv], axis=0)
+    cdname = _dtype_name(jnp.bfloat16 if cd == jnp.int8 else cd)
+    xp_l, scale_l, unpack, cdt = _pack_x(x_local, cdname)
+    xp_f, _, _, _ = _pack_x(x_full, cdname)
+    out = _halo_dense_scans(g, dim, _split_tables(xp_l), _split_tables(xp_f),
+                            scale_l, unpack, cdt)
     return out[: g.n_nodes]
 
 

@@ -368,19 +368,36 @@ def _dtype_name(compute_dtype) -> str:
         else jnp.dtype(compute_dtype).name
 
 
+def _halo_dense_scans(g, d: int, tables_local, tables_full, scale, unpack,
+                      cd) -> jax.Array:
+    """Local-first two-phase scan shared by the dense and fused halo
+    paths: local tiles scan against the local table (data-independent of
+    the exchange, so XLA's scheduler can overlap them), halo tiles scan
+    against the [local | received] table."""
+    nl = g.halo.n_local_tiles
+    out = jnp.zeros((g.n_rows_padded, d), dtype=jnp.float32)
+    if nl:
+        out = _spmm_scan(g.cols[:nl], g.vals[:nl], g.lrow[:nl],
+                         g.block[:nl], tables_local, out, scale, unpack,
+                         cd, g.row_block, _group_count(nl, g.edge_tile))
+    if g.n_tiles > nl:
+        out = _spmm_scan(g.cols[nl:], g.vals[nl:], g.lrow[nl:],
+                         g.block[nl:], tables_full, out, scale, unpack,
+                         cd, g.row_block,
+                         _group_count(g.n_tiles - nl, g.edge_tile))
+    return out
+
+
 def _spmm_halo(g, x: jax.Array, compute_dtype) -> jax.Array:
     """Row-partitioned SpMM with neighbor-selective halo exchange.
 
-    Runs inside shard_map: tiles are ordered local-first at shard time
-    (parallel.partition), so the local-tile scan is data-independent of the
-    all_to_all and XLA's latency-hiding scheduler can overlap them; halo
-    tiles then scan against the [local | received] table. The exchange
-    moves PACKED rows (bf16 pairs), i.e. half the dense f32 halo bytes.
+    Runs inside shard_map (see _halo_dense_scans for the overlap
+    structure). The exchange moves PACKED rows (bf16 pairs), i.e. half
+    the dense f32 halo bytes.
     """
     from maxk_tpu.parallel.halo import halo_exchange
     spec = g.halo
     cdname = _dtype_name(compute_dtype)
-    nl = spec.n_local_tiles
     d = x.shape[1]
     if cdname == "int8":
         # Quantization scales must match the packed payload; exchange raw
@@ -392,16 +409,8 @@ def _spmm_halo(g, x: jax.Array, compute_dtype) -> jax.Array:
         xp, scale, unpack, cd = _pack_x(x, cdname)
         tables_local = _split_tables(xp)
         tables_full = _split_tables(halo_exchange(xp, spec))
-    out = jnp.zeros((g.n_rows_padded, d), dtype=jnp.float32)
-    if nl:
-        out = _spmm_scan(g.cols[:nl], g.vals[:nl], g.lrow[:nl],
-                         g.block[:nl], tables_local, out, scale, unpack,
-                         cd, g.row_block, _group_count(nl, g.edge_tile))
-    if g.n_tiles > nl:
-        out = _spmm_scan(g.cols[nl:], g.vals[nl:], g.lrow[nl:],
-                         g.block[nl:], tables_full, out, scale, unpack,
-                         cd, g.row_block,
-                         _group_count(g.n_tiles - nl, g.edge_tile))
+    out = _halo_dense_scans(g, d, tables_local, tables_full, scale,
+                            unpack, cd)
     return out[: g.n_nodes].astype(x.dtype)
 
 

@@ -86,6 +86,9 @@ def main():
         seed: int = 97
         eval_every: int = 1
         n_devices: int = 0
+        # bf16 matmuls are software-emulated on the CPU backend (~100x);
+        # the functional check must run f32 there.
+        compute_dtype: str = "float32" if args.force_cpu else "bfloat16"
 
     cbsr_b, dense_b = cbsr_nbytes(ds.csr.n_nodes, args.maxk, args.hidden)
     print(f"# halo model per aggregation: dense all-gather "

@@ -72,8 +72,8 @@ def choose_tile_sizes(n_nodes: int, n_edges: int,
     """
     avg_degree = max(1.0, n_edges / max(1, n_nodes))
     # Measured on v5e (clean single-process sweeps, see BASELINE.md):
-    # C=8192 wins at every degree (64k-slot gather groups amortize scan
-    # dispatch; smaller C measured 2x slower even at lower padding).
+    # C=8192 wins at moderate+ degrees (64k-slot gather groups amortize
+    # scan dispatch; smaller C measured 2x slower even at lower padding).
     # R balances the one-hot MXU cost ((R+1)*D MACs per SLOT) against
     # padding: R ~ 2*C/degree rounded DOWN (deg=100 -> R=128 measured
     # best; deg_part=4 -> R=512), capped at 512 where the MXU term
@@ -83,6 +83,15 @@ def choose_tile_sizes(n_nodes: int, n_edges: int,
     span = 2.0 * edge_tile / avg_degree
     row_block = 1 << max(5, min(9, int(math.floor(math.log2(max(
         32.0, min(span, n_nodes)))))))
+    # Very low degree (column parts of huge sparse graphs, e.g. the
+    # products shape: 19 parts of per-part degree ~2.7): a 512-row block
+    # holds only R*deg edges, so a C=8192 tile would be mostly padding
+    # (~83% measured -> 30x per-edge slowdown + HBM blowup). Shrink C
+    # toward the expected block fill instead.
+    fill = row_block * avg_degree
+    if fill < edge_tile / 2.0:
+        edge_tile = 1 << max(9, min(13, int(math.ceil(math.log2(max(
+            512.0, fill * 1.3))))))
     return int(row_block), int(edge_tile)
 
 

@@ -89,11 +89,25 @@ def main():
     log(f"unfused spmm_segment: {t_seg.mean_ms:.2f} ms "
         f"({t_seg.nnz_per_s(nnz)/1e9:.2f} Gnnz/s)")
 
-    # Fused MaxK SpGEMM forward (the headline kernel).
-    fused_fn = jax.jit(lambda gg, ggt, xx: maxk_spgemm(gg, ggt, xx, args.k))
-    t_fused = time_fn(lambda: fused_fn(g, gt, x), warmup=4, runs=4)
-    log(f"maxk_spgemm fwd k={args.k}: {t_fused.mean_ms:.2f} ms "
+    # MaxK SpGEMM forward (the headline kernel). Reference protocol: the
+    # CBSR operand is prepared beforehand and the TopK kernel is timed
+    # separately (kernels/main.cu:120-146 builds the selector outside
+    # do_test), so the headline times spgemm_forward_cbsr; the whole
+    # fused op (TopK included) is logged alongside.
+    from maxk_tpu.ops.cbsr import cbsr_topk
+    from maxk_tpu.ops.spgemm import spgemm_forward_cbsr
+    jit_topk = jax.jit(cbsr_topk, static_argnames=("k",))
+    v, s = jax.block_until_ready(jit_topk(x, k=args.k))
+    t_topk = time_fn(lambda: jit_topk(x, k=args.k), warmup=4, runs=4)
+    log(f"topk->cbsr k={args.k}: {t_topk.mean_ms:.2f} ms")
+    fwd_fn = jax.jit(lambda gg, vv, ss: spgemm_forward_cbsr(
+        gg, vv, ss, args.dim))
+    t_fused = time_fn(lambda: fwd_fn(g, v, s), warmup=4, runs=4)
+    full_fn = jax.jit(lambda gg, ggt, xx: maxk_spgemm(gg, ggt, xx, args.k))
+    t_full = time_fn(lambda: full_fn(g, gt, x), warmup=4, runs=4)
+    log(f"maxk spgemm fwd k={args.k}: {t_fused.mean_ms:.2f} ms "
         f"({t_fused.nnz_per_s(nnz)/1e9:.2f} Gnnz/s); "
+        f"full fused op incl. topk {t_full.mean_ms:.2f} ms; "
         f"vs unfused {t_seg.mean_ms / t_fused.mean_ms:.1f}x")
 
     print(json.dumps({

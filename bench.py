@@ -36,8 +36,14 @@ def main():
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
+    import os
     import numpy as np
     import jax
+    # The axon sitecustomize overwrites JAX_PLATFORMS at import time;
+    # honor an explicit env choice (e.g. cpu smoke runs) like train.py.
+    envp = os.environ.get("JAX_PLATFORMS")
+    if envp:
+        jax.config.update("jax_platforms", envp)
     import jax.numpy as jnp
 
     from maxk_tpu.data.loaders import load_csr_binary, available_graphs, \

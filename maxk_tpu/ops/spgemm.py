@@ -306,6 +306,10 @@ def spgemm_forward_cbsr(g: TiledGraph, values: jax.Array,
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16
     rowscale = compute_dtype == "int8_rowscale"
+    if getattr(g, "local_parts", None) is not None:
+        return _spgemm_cbsr_halo_parted(
+            g, values, selector, dim,
+            jnp.bfloat16 if rowscale else compute_dtype)
     if getattr(g, "halo", None) is not None:
         return _spgemm_cbsr_halo(
             g, values, selector, dim,
@@ -367,6 +371,48 @@ def _spgemm_cbsr_halo(g, values: jax.Array, selector: jax.Array,
     xp_f, _, _, _ = _pack_x(x_full, cdname)
     out = _halo_dense_scans(g, dim, _split_tables(xp_l), _split_tables(xp_f),
                             scale_l, unpack, cdt)
+    return out[: g.n_nodes]
+
+
+def _spgemm_cbsr_halo_parted(g, values: jax.Array, selector: jax.Array,
+                             dim: int, compute_dtype) -> jax.Array:
+    """Column-parted halo-mode fused forward (HaloPartedGraph).
+
+    The exchange carries the CBSR wire format (bf16 value pairs + uint8
+    selector quads — the k-scaled halo compression of _spgemm_cbsr_halo);
+    expansion happens once per received row, and the scans gather against
+    materialized <= col_part_rows-row slices of the local / received
+    tables (the fast-descriptor regime, like ops.spmm._spmm_halo_parted).
+    """
+    from maxk_tpu.parallel.halo import halo_exchange
+    from maxk_tpu.ops.spmm import _pack_x, _scan_col_parts
+    spec = g.spec
+    cd = jnp.dtype(compute_dtype)
+    n_local = values.shape[0]
+    x_local = cbsr_expand(values, selector, dim)
+    k0 = values.shape[1]
+    v_r = s_r = None
+    if spec is not None:
+        if cd != jnp.float32 and dim <= 256 and k0 <= _CBSR_GATHER_MAX_K:
+            values_p, selector_p, k = _cbsr_pad_k(values, selector)
+            table = _cbsr_pack_table(values_p, selector_p)
+            recv = halo_exchange(table, spec)[n_local:]
+            lo, hi = _unpack_bf16_pairs(recv[:, : k // 2])
+            v_r = jnp.concatenate([lo, hi], axis=1)
+            s_r = jnp.concatenate(
+                _unpack_uint8_quads(recv[:, k // 2:]), axis=1)
+        else:
+            v_r = halo_exchange(values, spec)[n_local:]
+            s_r = halo_exchange(selector, spec)[n_local:]
+    cdname = _dtype_name(jnp.bfloat16 if cd == jnp.int8 else cd)
+    xp_l, scale, unpack, cdt = _pack_x(x_local, cdname)
+    out = jnp.zeros((g.n_rows_padded, dim), dtype=jnp.float32)
+    out = _scan_col_parts(g.local_parts, xp_l, n_local, g.col_part_rows,
+                          out, scale, unpack, cdt)
+    if v_r is not None and g.halo_parts:
+        xp_r, _, _, _ = _pack_x(cbsr_expand(v_r, s_r, dim), cdname)
+        out = _scan_col_parts(g.halo_parts, xp_r, xp_r.shape[0],
+                              g.col_part_rows, out, scale, unpack, cdt)
     return out[: g.n_nodes]
 
 

@@ -414,6 +414,59 @@ def _spmm_halo(g, x: jax.Array, compute_dtype) -> jax.Array:
     return out[: g.n_nodes].astype(x.dtype)
 
 
+def _scan_col_parts(parts, table, size: int, part_rows: int, out, scale,
+                    unpack, cd):
+    """Scan column parts against materialized <= part_rows-row slices of
+    `table` (the fast-descriptor gather regime; see PartedGraph note)."""
+    for q, p in enumerate(parts):
+        lo = q * part_rows
+        sl = jax.lax.optimization_barrier(
+            jax.lax.slice_in_dim(table, lo, min(lo + part_rows, size),
+                                 axis=0))
+        out = _spmm_scan(p.cols, p.vals, p.lrow, p.block, _split_tables(sl),
+                         out, scale, unpack, cd, p.row_block,
+                         _group_count(p.n_tiles, p.edge_tile))
+    return out
+
+
+def _spmm_halo_parted(g, x: jax.Array, compute_dtype) -> jax.Array:
+    """Column-parted halo SpMM (parallel.halo.HaloPartedGraph).
+
+    Per-device gather tables larger than the fast-gather row count are
+    split into column parts at shard-build time; every gather here runs
+    against a materialized compact slice. Local parts are
+    data-independent of the exchange (overlappable with the all_to_all);
+    halo parts scan against slices of the received rows.
+    """
+    from maxk_tpu.parallel.halo import halo_exchange
+    cdname = _dtype_name(compute_dtype)
+    d = x.shape[1]
+    n_local = g.n_local
+    recv = None
+    if cdname == "int8":
+        # Quantization scales must cover the exchanged rows too: exchange
+        # raw rows, pack the combined table once (no overlap in this mode).
+        x_full = halo_exchange(x, g.spec) if g.spec is not None else x
+        xp_full, scale, unpack, cd = _pack_x(x_full, cdname)
+        xp_local = jax.lax.slice_in_dim(xp_full, 0, n_local, axis=0)
+        if g.spec is not None:
+            recv = jax.lax.slice_in_dim(xp_full, n_local,
+                                        xp_full.shape[0], axis=0)
+    else:
+        xp_local, scale, unpack, cd = _pack_x(x, cdname)
+        if g.spec is not None:
+            recv = jax.lax.slice_in_dim(
+                halo_exchange(xp_local, g.spec), n_local,
+                n_local + g.spec.n_shards * g.spec.halo_rows, axis=0)
+    out = jnp.zeros((g.n_rows_padded, d), dtype=jnp.float32)
+    out = _scan_col_parts(g.local_parts, xp_local, n_local,
+                          g.col_part_rows, out, scale, unpack, cd)
+    if recv is not None and g.halo_parts:
+        out = _scan_col_parts(g.halo_parts, recv, recv.shape[0],
+                              g.col_part_rows, out, scale, unpack, cd)
+    return out[: g.n_nodes].astype(x.dtype)
+
+
 def spmm(g, x: jax.Array,
          compute_dtype: Optional[jnp.dtype] = None) -> jax.Array:
     """Tiled SpMM: out[r] = sum_{e in row r} vals[e] * x[cols[e]].
@@ -429,6 +482,8 @@ def spmm(g, x: jax.Array,
     from maxk_tpu.ops.graph import PartedGraph
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16 if x.dtype == jnp.float32 else x.dtype
+    if getattr(g, "local_parts", None) is not None:
+        return _spmm_halo_parted(g, x, compute_dtype)
     if getattr(g, "halo", None) is not None:
         return _spmm_halo(g, x, compute_dtype)
     if g.gather_axis is not None:

@@ -56,7 +56,8 @@ class DistTrainer(FitLoop):
     def __init__(self, config, dataset: Dataset, mesh: Optional[Mesh] = None,
                  logger=None, writer=None,
                  row_block: Optional[int] = None,
-                 edge_tile: Optional[int] = None):
+                 edge_tile: Optional[int] = None,
+                 col_part_rows: Optional[int] = None):
         self.config = config
         self.dataset = dataset
         self.logger = logger
@@ -70,7 +71,8 @@ class DistTrainer(FitLoop):
             dataset.csr, self.n_shards, row_block=row_block,
             edge_tile=edge_tile,
             norms=MODEL_NORMS.get(config.model, ("mean", "sum", "sym")),
-            halo=getattr(config, "halo", True))
+            halo=getattr(config, "halo", True),
+            col_part_rows=col_part_rows)
         v_pad = self.sharded.n_nodes_padded
 
         self.model = build_model(

@@ -83,6 +83,38 @@ def halo_nbytes(spec: HaloSpec, dim: int, itemsize: int = 4) -> int:
     return s * spec.halo_rows * dim * itemsize
 
 
+@struct.dataclass
+class HaloPartedGraph:
+    """Per-device runtime view of a column-parted row shard.
+
+    The distributed twin of ops.graph.PartedGraph: when a shard's gather
+    table ([local rows | halo buffer]) exceeds the v5e fast-gather row
+    count (~131072 rows, BASELINE.md machine model), its tiles are split
+    at shard-build time into column parts of <= col_part_rows rows each,
+    and ops gather every part against a materialized compact slice of the
+    table. Parts over the local row range are data-independent of the
+    halo exchange (they run first, overlappable with the all_to_all);
+    parts over the halo range scan against slices of the received rows.
+
+    local_parts / halo_parts: tuples of TiledGraph whose cols are
+    LOCALIZED to the part's row range ([q*P, ...) of the local table and
+    [n_local + q*P, ...) of the concatenated table respectively).
+    spec: the HaloSpec exchange plan (None when there are no cross-shard
+    edges — halo_parts is then empty).
+    """
+
+    local_parts: tuple
+    halo_parts: tuple
+    spec: Optional[HaloSpec]
+    n_nodes: int = struct.field(pytree_node=False)       # real local rows
+    n_local: int = struct.field(pytree_node=False)       # padded local rows
+    col_part_rows: int = struct.field(pytree_node=False)
+
+    @property
+    def n_rows_padded(self) -> int:
+        return max(p.n_rows_padded for p in self.local_parts + self.halo_parts)
+
+
 def plan_halo(shard_tiles: list, row_block: int, n_shards: int,
               rows_per_shard: int):
     """Host-side halo plan over all shards' tile sets.

@@ -87,6 +87,61 @@ class ShardedTiles:
         )
 
 
+@struct.dataclass
+class ShardedPartedTiles:
+    """Column-parted variant of ShardedTiles (built by shard_graph when a
+    shard's [local | halo] gather table exceeds the fast-gather row count
+    — the distributed analog of ops.graph.PartedGraph).
+
+    parts_local / parts_halo: per-part (cols, vals, lrow, block) tuples,
+    each array stacked over shards with leading axis S and columns
+    LOCALIZED to the part's table range. statics_local / statics_halo:
+    per-part (row_block, edge_tile, n_rows_padded).
+    """
+
+    parts_local: tuple
+    parts_halo: tuple
+    send_idx: Optional[jax.Array]
+    statics_local: tuple = struct.field(pytree_node=False)
+    statics_halo: tuple = struct.field(pytree_node=False)
+    n_shards: int = struct.field(pytree_node=False)
+    rows_per_shard: int = struct.field(pytree_node=False)
+    n_nodes_global: int = struct.field(pytree_node=False)
+    n_nodes_padded: int = struct.field(pytree_node=False)
+    n_edges: int = struct.field(pytree_node=False)
+    halo_rows: int = struct.field(pytree_node=False)
+    col_part_rows: int = struct.field(pytree_node=False)
+
+    def local(self, axis_name: str = GRAPH_AXIS):
+        """Inside shard_map: this device's slice as a HaloPartedGraph."""
+        from maxk_tpu.parallel.halo import HaloSpec, HaloPartedGraph
+
+        def tg(arrs, statics):
+            cols, vals, lrow, block = arrs
+            rb, et, nrp = statics
+            return TiledGraph(
+                cols=cols[0], vals=vals[0], lrow=lrow[0], block=block[0],
+                n_nodes=self.rows_per_shard, n_edges=self.n_edges,
+                row_block=rb, edge_tile=et, n_rows_padded=nrp)
+
+        spec = None
+        if self.send_idx is not None:
+            spec = HaloSpec(send_idx=self.send_idx[0],
+                            n_local=self.rows_per_shard,
+                            halo_rows=self.halo_rows,
+                            n_local_tiles=0,  # unused in parted mode
+                            axis=axis_name)
+        return HaloPartedGraph(
+            local_parts=tuple(tg(a, st) for a, st in
+                              zip(self.parts_local, self.statics_local)),
+            halo_parts=tuple(tg(a, st) for a, st in
+                             zip(self.parts_halo, self.statics_halo)),
+            spec=spec,
+            n_nodes=self.rows_per_shard,
+            n_local=self.rows_per_shard,
+            col_part_rows=self.col_part_rows)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -101,16 +156,100 @@ def pad_nodes(arr: np.ndarray, n_nodes_padded: int,
     return np.pad(arr, widths, constant_values=fill)
 
 
+def _part_sharded_tiles(tiles, send_np, halo_rows: int, row_block: int,
+                        n_shards: int, rows_per_shard: int, part_rows: int,
+                        v: int, v_pad: int, n_edges: int
+                        ) -> ShardedPartedTiles:
+    """Column-part each shard's remapped tiles (host side).
+
+    tiles: per-shard (cols, vals, lrow, block) with columns in the
+    [local | halo] table space (plan_halo output). Edges are re-tiled per
+    column part of <= part_rows table rows so every device gather hits a
+    table in the fast-descriptor regime; parts over the local range stay
+    data-independent of the exchange (comm/compute overlap preserved).
+    """
+    from maxk_tpu.ops.tiling import choose_tile_sizes
+
+    halo_table = n_shards * halo_rows
+    n_lp = max(1, -(-rows_per_shard // part_rows))
+    n_hp = -(-halo_table // part_rows) if halo_table else 0
+
+    # [region][q][s] -> (grow, col_local, val)
+    edges = {"local": [[None] * n_shards for _ in range(n_lp)],
+             "halo": [[None] * n_shards for _ in range(n_hp)]}
+    for s, (cols, vals, lrow, block) in enumerate(tiles):
+        real = lrow < row_block
+        grow = (block[:, None] * row_block + lrow)[real].astype(np.int64)
+        col = cols[real].astype(np.int64)
+        val = vals[real]
+        for region, base, n_parts in (("local", 0, n_lp),
+                                      ("halo", rows_per_shard, n_hp)):
+            for q in range(n_parts):
+                lo = base + q * part_rows
+                hi = min(lo + part_rows,
+                         base + (rows_per_shard if region == "local"
+                                 else halo_table))
+                m = (col >= lo) & (col < hi)
+                edges[region][q][s] = (grow[m], (col[m] - lo), val[m])
+
+    def build_region(region, n_parts):
+        arrs, statics = [], []
+        for q in range(n_parts):
+            e_max = max(len(e[0]) for e in edges[region][q])
+            rb, et = choose_tile_sizes(rows_per_shard, max(1, e_max))
+            group = max(1, min(64, 65536 // et))
+            sets = []
+            for s in range(n_shards):
+                grow, col, val = edges[region][q][s]
+                cg = CSRGraph.from_coo(grow, col.astype(np.int32),
+                                       rows_per_shard, values=val)
+                sets.append(build_tiles_fast(cg.indptr, cg.indices,
+                                             cg.values, row_block=rb,
+                                             edge_tile=et))
+            t_max = _round_up(max(ts.cols.shape[0] for ts in sets), group)
+
+            def stack(i, fill):
+                out = []
+                for ts in sets:
+                    a = ts[i]
+                    pad = t_max - a.shape[0]
+                    if pad:
+                        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+                        a = np.pad(a, widths, constant_values=fill)
+                    out.append(a)
+                return jnp.asarray(np.stack(out))
+
+            arrs.append((stack(0, 0), stack(1, 0.0), stack(2, rb),
+                         stack(3, 0)))
+            statics.append((rb, et, sets[0].n_rows_padded))
+        return tuple(arrs), tuple(statics)
+
+    parts_local, statics_local = build_region("local", n_lp)
+    parts_halo, statics_halo = build_region("halo", n_hp)
+    return ShardedPartedTiles(
+        parts_local=parts_local, parts_halo=parts_halo,
+        send_idx=None if send_np is None else jnp.asarray(send_np),
+        statics_local=statics_local, statics_halo=statics_halo,
+        n_shards=n_shards, rows_per_shard=rows_per_shard,
+        n_nodes_global=v, n_nodes_padded=v_pad, n_edges=n_edges,
+        halo_rows=halo_rows, col_part_rows=part_rows)
+
+
 def shard_graph(csr: CSRGraph, n_shards: int,
                 row_block: Optional[int] = None,
                 edge_tile: Optional[int] = None,
-                halo: bool = True) -> ShardedTiles:
+                halo: bool = True,
+                col_part_rows: Optional[int] = None) -> ShardedTiles:
     """Partition a CSR graph's rows into n_shards equal blocks of tiles.
 
     halo=True (default) additionally plans the neighbor-selective halo
     exchange (parallel.halo): per-peer send lists, [local | halo] column
     remapping, and local-first tile ordering for comm/compute overlap.
     halo=False keeps the full all-gather execution mode.
+
+    col_part_rows: None = auto (column-part each shard's tiles when its
+    [local | halo] gather table would exceed the fast-gather row count —
+    ops.graph.COL_PART_ROWS); 0 = never part. Parting requires halo mode.
     """
     from maxk_tpu.ops.tiling import choose_tile_sizes
     if row_block is None or edge_tile is None:
@@ -147,6 +286,16 @@ def shard_graph(csr: CSRGraph, n_shards: int,
         tiles = [(ts.cols, ts.vals, ts.lrow, ts.block) for ts in shard_sets]
         tiles, send_np, halo_rows, n_local_tiles = plan_halo(
             tiles, row_block, n_shards, rows_per_shard)
+        table_rows = rows_per_shard + n_shards * halo_rows
+        if col_part_rows is None:
+            from maxk_tpu.ops.graph import COL_PART_ROWS, _PART_THRESHOLD
+            cpr = COL_PART_ROWS if table_rows > _PART_THRESHOLD else 0
+        else:
+            cpr = col_part_rows
+        if cpr and table_rows > cpr:
+            return _part_sharded_tiles(
+                tiles, send_np, halo_rows, row_block, n_shards,
+                rows_per_shard, cpr, v, v_pad, csr.n_edges)
         if send_np is not None:
             send_idx = jnp.asarray(send_np)
         planned = True
@@ -223,10 +372,12 @@ def shard_bundle(csr: CSRGraph, n_shards: int,
                  row_block: Optional[int] = None,
                  edge_tile: Optional[int] = None,
                  norms=("mean", "sum", "sym"),
-                 halo: bool = True) -> ShardedGraphBundle:
+                 halo: bool = True,
+                 col_part_rows: Optional[int] = None) -> ShardedGraphBundle:
     def sg(c):
         return shard_graph(c, n_shards, row_block=row_block,
-                           edge_tile=edge_tile, halo=halo)
+                           edge_tile=edge_tile, halo=halo,
+                           col_part_rows=col_part_rows)
 
     built = {}
     for norm in norms:

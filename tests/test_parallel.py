@@ -248,3 +248,96 @@ def test_halo_rows_scale_with_edge_cut(mesh):
     assert st.send_idx is not None
     # ~20 cross edges per (src, dst) pair -> halo_rows ~ tens, not 40.
     assert st.halo_rows < st.rows_per_shard
+
+
+def test_parted_sharded_spmm_matches_oracle(mesh):
+    """Column-parted shards (forced tiny col_part_rows) == oracle: every
+    gather runs against a <= part_rows slice of the [local|halo] table."""
+    csr = random_graph(200, 10.0, seed=51)
+    x = np.random.default_rng(9).normal(size=(200, 32)).astype(np.float32)
+    st = shard_graph(csr, N_DEV, row_block=8, edge_tile=32, col_part_rows=16)
+    from maxk_tpu.parallel.partition import ShardedPartedTiles
+    assert isinstance(st, ShardedPartedTiles)
+    assert len(st.parts_local) == 2       # rows_per_shard 32 / 16
+    assert st.parts_halo                  # random graph has cross edges
+    x_pad = jnp.asarray(shard_node_array(x, st.n_nodes_padded))
+
+    def f(tiles, xs):
+        return spmm(tiles.local(GRAPH_AXIS), xs, compute_dtype=jnp.float32)
+
+    out = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(GRAPH_AXIS), st), P(GRAPH_AXIS)),
+        out_specs=P(GRAPH_AXIS), check_vma=False))(st, x_pad)
+    np.testing.assert_allclose(np.asarray(out)[:200],
+                               spmm_dense_oracle(csr, x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_parted_sharded_maxk_spgemm_grad(mesh):
+    """Fused MaxK SpGEMM forward + gradient through column-parted shards
+    (CBSR wire exchange + parted scans) == single-device fused op."""
+    csr = random_graph(160, 8.0, seed=52)
+    d, k = 32, 8
+    x = np.random.default_rng(3).normal(size=(160, d)).astype(np.float32)
+    g1 = build_tiled_graph(csr, row_block=8, edge_tile=32)
+    gt1 = build_tiled_graph(csr.transpose(), row_block=8, edge_tile=32)
+    y_ref = maxk_spgemm(g1, gt1, jnp.asarray(x), k,
+                        compute_dtype=jnp.float32)
+    w = np.random.default_rng(4).normal(size=y_ref.shape).astype(np.float32)
+
+    bund = shard_bundle(csr, N_DEV, row_block=8, edge_tile=32,
+                        col_part_rows=16)
+    v_pad = bund.n_nodes_padded
+    x_pad = jnp.asarray(shard_node_array(x, v_pad))
+    w_pad = jnp.asarray(shard_node_array(w, v_pad))
+
+    def loss_sum(bundle, xs, ws):
+        graphs = local_bundle(bundle, GRAPH_AXIS)
+        y = maxk_spgemm(graphs.g_sum, graphs.g_sum_t, xs, k,
+                        compute_dtype=jnp.float32)
+        return jax.lax.psum(jnp.sum(ws * y), GRAPH_AXIS)
+
+    smapped = jax.shard_map(
+        loss_sum, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(GRAPH_AXIS), bund),
+                  P(GRAPH_AXIS), P(GRAPH_AXIS)),
+        out_specs=P(), check_vma=False)
+    val = jax.jit(smapped)(bund, x_pad, w_pad)
+    grad = jax.jit(jax.grad(lambda xs: smapped(bund, xs, w_pad)))(x_pad)
+
+    grad_ref = jax.grad(lambda xx: jnp.sum(jnp.asarray(w) * maxk_spgemm(
+        g1, gt1, xx, k, compute_dtype=jnp.float32)))(jnp.asarray(x))
+    ref_val = float(jnp.sum(jnp.asarray(w) * y_ref))
+    assert float(val) == pytest.approx(ref_val, rel=1e-4)
+    np.testing.assert_allclose(np.asarray(grad)[:160], np.asarray(grad_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_parted_dist_trainer_step(mesh, tmp_path):
+    """DistTrainer over column-parted shards matches the single-device
+    loss sequence (dropout 0, float32)."""
+    ds = make_synthetic_dataset(n_nodes=200, avg_degree=6.0, n_classes=4,
+                                in_size=12, seed=33)
+    cfg = _Cfg(model="sage", path=str(tmp_path))
+    tr1 = Trainer(cfg, ds)
+    st1 = tr1.init_state()
+    losses1 = []
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    for _ in range(2):
+        rng, k1 = jax.random.split(rng)
+        st1, l1 = tr1._jit_step(st1, k1)
+        losses1.append(float(l1))
+
+    tr8 = DistTrainer(cfg, ds, mesh=mesh, row_block=8, edge_tile=32,
+                      col_part_rows=16)
+    from maxk_tpu.parallel.partition import ShardedPartedTiles
+    assert isinstance(tr8.sharded.g_mean, ShardedPartedTiles)
+    st8 = tr8.init_state_concrete(tr1.graphs, tr1.features)
+    losses8 = []
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    for _ in range(2):
+        rng, k1 = jax.random.split(rng)
+        st8, l8 = tr8.train_step(st8, k1)
+        losses8.append(float(l8))
+    np.testing.assert_allclose(losses8, losses1, rtol=5e-3, atol=5e-4)

@@ -95,6 +95,55 @@ def choose_tile_sizes(n_nodes: int, n_edges: int,
     return int(row_block), int(edge_tile)
 
 
+# Measured v5e per-slot cost constants (BASELINE.md machine model):
+# - gather+unpack of one 128-lane packed row, fused into the dot:
+#   ~2.7 ns/slot against fast tables (<= 131072 rows with XLA's in-kernel
+#   fusion at moderate+ fill), ~8.5 ns/slot in the parted low-fill regime
+#   where the take runs at the isolated 117 M rows/s descriptor rate;
+# - one-hot MXU reduce: (R+1)*D MACs/slot at ~98.5 TMAC/s bf16;
+# - output tile read-modify-write: 2*R*D*4 bytes/tile at ~819 GB/s.
+_GATHER_NS_FAST = 2.7
+_GATHER_NS_PARTED = 8.5
+_MAC_NS = 256.0 / 98.5e3          # per (R+1), at dim 256
+_RMW_NS_PER_ROW = 2 * 256 * 4 / 819.0  # per tile row, at dim 256
+
+
+def choose_tile_sizes_exact(indptr: np.ndarray,
+                            gather_ns: float = _GATHER_NS_PARTED,
+                            row_blocks=(64, 128, 256, 512),
+                            edge_tiles=(512, 1024, 1536, 2048, 3072,
+                                        4096, 6144, 8192)
+                            ) -> tuple[int, int]:
+    """Pick (row_block, edge_tile) by exact padded-slot counts.
+
+    Unlike choose_tile_sizes (mean-degree heuristic), this evaluates the
+    candidate grid against the graph's actual per-block edge counts —
+    power-law degree skew makes mean-fill padding estimates off by 2x —
+    and minimizes the measured serial cost model:
+
+        slots(R,C) * (gather_ns + (R+1)*mac) + tiles(R,C) * R * rmw
+
+    Runs in O(V/R) per candidate on host. Used for low-fill column parts
+    where padding dominates; the default sizing keeps the measured-optimal
+    heuristic for the moderate/high-fill regime.
+    """
+    indptr = np.asarray(indptr, dtype=np.int64)
+    n = int(indptr.shape[0]) - 1
+    best = None
+    for r in row_blocks:
+        bounds = indptr[np.minimum(np.arange(0, n + r, r), n)]
+        cnt = np.diff(bounds)
+        for c in edge_tiles:
+            tiles = int(np.sum(-(-cnt // c)))
+            if tiles == 0:
+                tiles = 1
+            cost = tiles * c * (gather_ns + (r + 1) * _MAC_NS) \
+                + tiles * r * _RMW_NS_PER_ROW
+            if best is None or cost < best[0]:
+                best = (cost, r, c)
+    return best[1], best[2]
+
+
 def build_tiles(indptr: np.ndarray,
                 indices: np.ndarray,
                 values: Optional[np.ndarray] = None,

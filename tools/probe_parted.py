@@ -69,17 +69,29 @@ def main():
     variants = [
         ("parted_auto", {}, 128, None),
         ("parted_split64", {}, 64, None),
-        ("parted_split32", {}, 32, None),
         ("parted_int8", {}, 128, "int8"),
-        ("parted_R128", {"row_block": 128}, 128, None),
-        ("parted_R256", {"row_block": 256}, 128, None),
-        ("parted_R128_split64", {"row_block": 128}, 64, None),
+        ("parted_R256_C512", {"row_block": 256, "edge_tile": 512},
+         128, None),
+        ("parted_R256_C1536", {"row_block": 256, "edge_tile": 1536},
+         128, None),
+        ("parted_R128_C1024", {"row_block": 128, "edge_tile": 1024},
+         128, None),
+        ("parted_R256_C512_split64", {"row_block": 256, "edge_tile": 512},
+         64, None),
         ("unparted", {"col_part_rows": 0}, 128, None),
         ("unparted_split64", {"col_part_rows": 0}, 64, None),
     ]
     if args.variants:
         want = set(args.variants.split(","))
         variants = [v for v in variants if v[0] in want]
+
+    # Fused-forward variants on the auto-parted graph: the int8_rowscale
+    # table is dim/4+1 = 65 lanes, under the 512-byte width penalty that
+    # the dense 128-lane table pays in this regime — if the penalty is
+    # what makes products-shape slow, the FUSED forward should beat the
+    # dense baseline here (the paper's story, on large graphs).
+    fused_variants = [("fused_bf16_k32", None), ("fused_rowscale_k32",
+                                                 "int8_rowscale")]
 
     built = {}
     for name, kw, lanes, cd in variants:
@@ -101,6 +113,27 @@ def main():
             print(json.dumps(dict(kernel=name,
                                   error=str(e)[:200])), flush=True)
     spmm_mod._GATHER_MAX_LANES = 128
+
+    from maxk_tpu.ops.cbsr import cbsr_topk
+    from maxk_tpu.ops.spgemm import spgemm_forward_cbsr
+    jax.clear_caches()
+    g = built.get(())
+    if g is not None and fused_variants:
+        x = jnp.asarray(x_np)
+        v, s = jax.block_until_ready(
+            jax.jit(cbsr_topk, static_argnames=("k",))(x, k=32))
+        for name, cd in fused_variants:
+            fn = jax.jit(lambda gg, vv, ss, cd=cd: spgemm_forward_cbsr(
+                gg, vv, ss, args.dim, compute_dtype=cd))
+            try:
+                t = time_fn(lambda: fn(g, v, s), warmup=4, runs=4)
+                print(json.dumps(dict(
+                    kernel=name, ms=round(t.mean_ms, 3),
+                    ns_per_edge=round(t.mean_ms * 1e6 / nnz, 3))),
+                    flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps(dict(kernel=name, error=str(e)[:200])),
+                      flush=True)
 
 
 if __name__ == "__main__":

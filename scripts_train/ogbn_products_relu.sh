@@ -1,0 +1,10 @@
+#!/bin/bash
+# ogbn-products + ReLU baseline (reference
+# scripts_train/ogbn_products_relu.sh: 3 layers, hidden 256, dropout 0.5,
+# lr 0.003, 500 epochs, norm; selfloop except for sage).
+SEED=${1:-97}; MODEL=${2:-sage}
+EXTRA=""
+if [ "$MODEL" != "sage" ]; then EXTRA="--selfloop"; fi
+python train.py --dataset ogbn-products --model $MODEL --hidden_layers 3 \
+  --hidden_dim 256 --nonlinear relu --seed $SEED \
+  --dropout 0.5 --norm --w_lr 0.003 --epochs 500 $EXTRA

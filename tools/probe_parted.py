@@ -38,11 +38,18 @@ def main():
     ap.add_argument("--variants", default="")
     args = ap.parse_args()
 
+    import os
     import jax
+    # The axon sitecustomize overwrites JAX_PLATFORMS at import time;
+    # honor an explicit env choice (CPU smoke runs) like train.py.
+    envp = os.environ.get("JAX_PLATFORMS")
+    if envp:
+        jax.config.update("jax_platforms", envp)
     import jax.numpy as jnp
     from maxk_tpu.data.loaders import synthetic_graph
     from maxk_tpu.ops.graph import build_tiled_graph
-    from maxk_tpu.ops import spmm as spmm_mod
+    import importlib
+    spmm_mod = importlib.import_module("maxk_tpu.ops.spmm")
     from maxk_tpu.bench.timing import time_fn
 
     print(f"# backend={jax.default_backend()}", file=sys.stderr)

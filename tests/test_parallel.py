@@ -341,3 +341,55 @@ def test_parted_dist_trainer_step(mesh, tmp_path):
         st8, l8 = tr8.train_step(st8, k1)
         losses8.append(float(l8))
     np.testing.assert_allclose(losses8, losses1, rtol=5e-3, atol=5e-4)
+
+
+def test_parted_fully_local_no_collective(mesh):
+    """Block-diagonal graph + forced parting: no cross-shard edges means
+    spec is None and only local parts exist; results still match."""
+    rng = np.random.default_rng(17)
+    n, per = 160, 20
+    src = np.concatenate([rng.integers(s * per, (s + 1) * per, 100)
+                          for s in range(8)])
+    dst = np.concatenate([rng.integers(s * per, (s + 1) * per, 100)
+                          for s in range(8)])
+    from maxk_tpu.ops.graph import CSRGraph
+    csr = CSRGraph.from_coo(src, dst.astype(np.int32), n)
+    st = shard_graph(csr, N_DEV, row_block=4, edge_tile=16,
+                     col_part_rows=8)
+    from maxk_tpu.parallel.partition import ShardedPartedTiles
+    assert isinstance(st, ShardedPartedTiles)
+    assert st.send_idx is None and not st.parts_halo
+    g_local = st.local(GRAPH_AXIS)
+    assert g_local.spec is None
+
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    x_pad = jnp.asarray(shard_node_array(x, st.n_nodes_padded))
+    out = jax.jit(jax.shard_map(
+        lambda t, xs: spmm(t.local(GRAPH_AXIS), xs,
+                           compute_dtype=jnp.float32),
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(GRAPH_AXIS), st), P(GRAPH_AXIS)),
+        out_specs=P(GRAPH_AXIS), check_vma=False))(st, x_pad)
+    np.testing.assert_allclose(np.asarray(out)[:n],
+                               spmm_dense_oracle(csr, x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_parted_sharded_int8_mode(mesh):
+    """Quantized-gather mode through column-parted shards stays within
+    int8 quantization error of the oracle."""
+    csr = random_graph(200, 10.0, seed=53)
+    x = np.random.default_rng(11).normal(size=(200, 32)).astype(np.float32)
+    st = shard_graph(csr, N_DEV, row_block=8, edge_tile=32,
+                     col_part_rows=16)
+    x_pad = jnp.asarray(shard_node_array(x, st.n_nodes_padded))
+    out = jax.jit(jax.shard_map(
+        lambda t, xs: spmm(t.local(GRAPH_AXIS), xs, compute_dtype="int8"),
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(GRAPH_AXIS), st), P(GRAPH_AXIS)),
+        out_specs=P(GRAPH_AXIS), check_vma=False))(st, x_pad)
+    ref = spmm_dense_oracle(csr, x)
+    err = np.abs(np.asarray(out)[:200] - ref)
+    # int8 per-column scale: relative error bounded by ~1/127 per element
+    # times the row's accumulation magnitude.
+    assert err.mean() / max(1.0, np.abs(ref).mean()) < 0.02

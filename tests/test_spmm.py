@@ -213,3 +213,33 @@ def test_gnna_small_part_size(small_graph):
         out = np.asarray(spmm_gnna(parts, jnp.asarray(x)))
         np.testing.assert_allclose(out, spmm_dense_oracle(csr, x),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_choose_tile_sizes_exact_beats_heuristic_on_skew():
+    """The exact chooser must never pick a (R, C) with more padded slots
+    than needed for a low-fill power-law part, and its choice must build
+    and validate."""
+    import numpy as np
+    from maxk_tpu.data.loaders import synthetic_graph
+    from maxk_tpu.ops.tiling import (choose_tile_sizes,
+                                     choose_tile_sizes_exact)
+
+    csr = synthetic_graph(8192, 3.0, seed=5)
+
+    def slots(rb, et):
+        b = csr.indptr[np.minimum(np.arange(0, 8192 + rb, rb), 8192)]
+        cnt = np.diff(b)
+        return int(np.sum(-(-cnt // et)) * et)
+
+    rb_h, et_h = choose_tile_sizes(csr.n_nodes, csr.n_edges)
+    rb_e, et_e = choose_tile_sizes_exact(csr.indptr)
+    assert slots(rb_e, et_e) <= slots(rb_h, et_h)
+
+    from maxk_tpu.ops.graph import build_tiled_graph
+    from maxk_tpu.ops.spmm import spmm, spmm_dense_oracle
+    import jax.numpy as jnp
+    g = build_tiled_graph(csr, row_block=rb_e, edge_tile=et_e)
+    x = np.random.default_rng(6).normal(size=(8192, 32)).astype(np.float32)
+    out = spmm(g, jnp.asarray(x), compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), spmm_dense_oracle(csr, x),
+                               rtol=1e-4, atol=1e-4)

@@ -262,9 +262,14 @@ def synthetic_suite(seed: int = 123,
         ("syn_mid_d16", 65536, 16.0), ("syn_mid_d64", 65536, 64.0),
         ("syn_mid_d128", 65536, 128.0), ("syn_big_d32", 262144, 32.0),
         ("syn_big_d100", 131072, 100.0),
+        # Shapes of the two small training datasets (flickr: V=89k
+        # avg-deg ~10; ogbn-proteins: V=132k avg-deg ~300).
+        ("syn_flickr_shape", 89250, 5.0),
+        ("syn_proteins_shape", 132534, 150.0),
     ]
     if large:
         specs += [
+            ("syn_yelp_shape", 716847, 9.8),       # E ~ 14M, parted regime
             ("syn_reddit_shape", 232965, 246.0),   # E ~ 115M after sym
             ("syn_products_shape", 2449029, 25.5),  # E ~ 124M after sym
         ]

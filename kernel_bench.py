@@ -34,13 +34,32 @@ def main():
     ap.add_argument("--json", default=None, help="write results JSON here")
     args = ap.parse_args()
 
+    import os
+    import jax
+    # The axon sitecustomize overwrites JAX_PLATFORMS at import time;
+    # honor an explicit env choice (CPU smoke runs) like train.py.
+    envp = os.environ.get("JAX_PLATFORMS")
+    if envp:
+        jax.config.update("jax_platforms", envp)
+
     from maxk_tpu.data.loaders import load_csr_binary, available_graphs
     from maxk_tpu.bench.harness import (benchmark_graph, analyze_speedups,
                                         synthetic_suite)
 
     if args.graph:
         stem = args.graph.removesuffix(".indptr")
-        graphs = [(stem, load_csr_binary(args.graphs, stem))]
+        if stem in available_graphs(args.graphs):
+            graphs = [(stem, load_csr_binary(args.graphs, stem))]
+        else:
+            # Fall back to a synthetic-suite graph by name (e.g.
+            # `kernel_bench.py syn_products_shape` for a targeted rerun).
+            from maxk_tpu.bench.harness import synthetic_by_name
+            g = synthetic_by_name(stem)
+            if g is None:
+                print(f"# {stem}: no binary under {args.graphs} and no "
+                      f"synthetic suite graph of that name", file=sys.stderr)
+                return 2
+            graphs = [(stem, g)]
     else:
         names = available_graphs(args.graphs)
         if names:

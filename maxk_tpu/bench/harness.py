@@ -257,20 +257,32 @@ def synthetic_suite(seed: int = 123,
     gigabytes of device transfer — opt-in via kernel_bench --large.
     """
     from maxk_tpu.data.loaders import synthetic_graph
-    specs = [
-        ("syn_small_d8", 8192, 8.0), ("syn_small_d64", 8192, 64.0),
-        ("syn_mid_d16", 65536, 16.0), ("syn_mid_d64", 65536, 64.0),
-        ("syn_mid_d128", 65536, 128.0), ("syn_big_d32", 262144, 32.0),
-        ("syn_big_d100", 131072, 100.0),
-        # Shapes of the two small training datasets (flickr: V=89k
-        # avg-deg ~10; ogbn-proteins: V=132k avg-deg ~300).
-        ("syn_flickr_shape", 89250, 5.0),
-        ("syn_proteins_shape", 132534, 150.0),
-    ]
-    if large:
-        specs += [
-            ("syn_yelp_shape", 716847, 9.8),       # E ~ 14M, parted regime
-            ("syn_reddit_shape", 232965, 246.0),   # E ~ 115M after sym
-            ("syn_products_shape", 2449029, 25.5),  # E ~ 124M after sym
-        ]
+    specs = list(SUITE_SPECS) + (list(LARGE_SPECS) if large else [])
     return [(n, synthetic_graph(v, d, seed=seed)) for n, v, d in specs]
+
+
+# (name, n_nodes, pre-symmetrization avg degree). The standard suite spans
+# the reference 24-graph degree range plus the two small training-dataset
+# shapes (flickr: V=89k avg-deg ~10; ogbn-proteins: V=132k avg-deg ~300).
+SUITE_SPECS = (
+    ("syn_small_d8", 8192, 8.0), ("syn_small_d64", 8192, 64.0),
+    ("syn_mid_d16", 65536, 16.0), ("syn_mid_d64", 65536, 64.0),
+    ("syn_mid_d128", 65536, 128.0), ("syn_big_d32", 262144, 32.0),
+    ("syn_big_d100", 131072, 100.0),
+    ("syn_flickr_shape", 89250, 5.0),
+    ("syn_proteins_shape", 132534, 150.0),
+)
+LARGE_SPECS = (
+    ("syn_yelp_shape", 716847, 9.8),        # E ~ 14M, parted regime
+    ("syn_reddit_shape", 232965, 246.0),    # E ~ 115M after sym
+    ("syn_products_shape", 2449029, 25.5),  # E ~ 124M after sym
+)
+
+
+def synthetic_by_name(name: str, seed: int = 123):
+    """Generate ONE suite graph by name (targeted reruns) or None."""
+    from maxk_tpu.data.loaders import synthetic_graph
+    for n, v, d in SUITE_SPECS + LARGE_SPECS:
+        if n == name:
+            return synthetic_graph(v, d, seed=seed)
+    return None

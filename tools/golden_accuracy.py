@@ -64,13 +64,18 @@ def main():
                                 feature_noise=4.0, rewire_p=0.7,
                                 train_frac=0.05)
     rows = []
-    cases = [("maxk", k) for k in (8, 16, 32, 64)] + [("relu", 0)]
-    for nonlinear, k in cases:
-        cfg = Cfg(nonlinear=nonlinear, maxk=k or 32,
-                  path=f"/tmp/golden_acc_{nonlinear}{k}")
+    # SAGE across k + relu (the reference's headline nonlinearity sweep),
+    # then one maxk-32 golden per remaining model family.
+    cases = [("sage", "maxk", k) for k in (8, 16, 32, 64)] \
+        + [("sage", "relu", 0)] \
+        + [(m, "maxk", 32) for m in ("gcn", "gin", "gnn_res")] \
+        + [(m, "relu", 0) for m in ("gcn", "gin", "gnn_res")]
+    for model, nonlinear, k in cases:
+        cfg = Cfg(model=model, nonlinear=nonlinear, maxk=k or 32,
+                  path=f"/tmp/golden_acc_{model}_{nonlinear}{k}")
         Path(cfg.path).mkdir(parents=True, exist_ok=True)
         res = Trainer(cfg, ds).fit()
-        row = dict(nonlinear=nonlinear, k=k or None,
+        row = dict(model=model, nonlinear=nonlinear, k=k or None,
                    best_val=round(res.best_val, 4),
                    best_test=round(res.best_test, 4),
                    best_epoch=res.best_epoch,

@@ -38,8 +38,14 @@ def main():
     ap.add_argument("--compute_dtype", default="bfloat16")
     args = ap.parse_args()
 
+    import os
     import numpy as np
     import jax
+    # The axon sitecustomize overwrites JAX_PLATFORMS at import time;
+    # honor an explicit env choice (CPU smoke runs) like train.py.
+    envp = os.environ.get("JAX_PLATFORMS")
+    if envp:
+        jax.config.update("jax_platforms", envp)
 
     from maxk_tpu.data.datasets import load_dataset, Dataset
     from maxk_tpu.data.loaders import synthetic_graph

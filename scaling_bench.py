@@ -14,6 +14,12 @@ payoff of MaxK (SURVEY.md section 2.4).
 Usage:
   python scaling_bench.py --devices 1 2 4 8 --force-cpu
   python scaling_bench.py                      # all local devices
+
+CPU-emulation limit: XLA's CPU collective rendezvous hard-aborts when
+any participant is >40 s late; emulated full-graph steps cross that at
+roughly --n-nodes 4096 (the default, sized for real devices) on this
+host. For CPU smoke runs pass --n-nodes 1024; real scaling numbers need
+TPU devices anyway (tests/test_parallel.py covers CPU-mesh correctness).
 """
 
 import argparse

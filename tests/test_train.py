@@ -248,3 +248,20 @@ def test_golden_synthetic_accuracy(tmp_path):
     # Golden best_val 0.9915 at epoch 135 with a 150-epoch budget; the
     # 30-epoch prefix of the same run reaches 0.9133 (measured).
     assert res.best_val > 0.85
+
+
+def test_golden_gcn_accuracy(tmp_path):
+    """Second golden-family guard (BASELINE.md round-2b table): GCN
+    maxk-32 on the hard synthetic recipe reaches 1.0 best-val by epoch
+    40; the 30-epoch prefix of the same run reaches 0.8388 (measured)."""
+    from maxk_tpu.data.datasets import make_synthetic_dataset
+    ds = make_synthetic_dataset(n_nodes=4096, avg_degree=16.0,
+                                n_classes=12, in_size=64, seed=97,
+                                feature_noise=4.0, rewire_p=0.7,
+                                train_frac=0.05)
+    cfg = _Cfg(path=str(tmp_path), model="gcn", hidden_dim=64,
+               hidden_layers=3, dropout=0.2, norm=True, nonlinear="maxk",
+               maxk=32, epochs=30, w_lr=0.01, eval_every=5, patience=0,
+               log_every=1000, compute_dtype="float32")
+    res = Trainer(cfg, ds).fit()
+    assert res.best_val > 0.78

@@ -218,6 +218,12 @@ class DistTrainer(FitLoop):
 
     # -- API ----------------------------------------------------------------
 
+    def _place_state(self, state: TrainState) -> TrainState:
+        """Checkpoint-restored leaves come back committed to single
+        devices; replicate them over the mesh so they are compatible
+        with the shard_map step's replicated params/opt-state."""
+        return jax.device_put(state, self._rep)
+
     def train_step(self, state: TrainState, rng):
         if self._jit_step_fn is None:
             self._jit_step_fn = self._make_step()

@@ -87,6 +87,11 @@ class FitLoop:
             if getattr(cfg, "resume", False) \
                     and ckpt.latest_step() is not None:
                 state, start_epoch = ckpt.restore(state)
+                # Restored leaves are COMMITTED to whatever devices Orbax
+                # placed them on; re-place per trainer (DistTrainer
+                # replicates over its mesh — a device-0 scalar would
+                # otherwise conflict with mesh-replicated params in jit).
+                state = self._place_state(state)
                 extra = ckpt.restore_extra()
                 if extra:
                     best.update(val=extra.get("best_val", 0.0),
@@ -191,6 +196,11 @@ class FitLoop:
             early_stopped=early_stopped)
         self._save_final_results(results)
         return results
+
+    def _place_state(self, state: TrainState) -> TrainState:
+        """Re-place a checkpoint-restored state on this trainer's devices
+        (identity here; DistTrainer replicates over its mesh)."""
+        return state
 
     def _save_final_results(self, results: TrainResults) -> None:
         """Final {config, results} artifact — the reference integrated

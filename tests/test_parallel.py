@@ -393,3 +393,19 @@ def test_parted_sharded_int8_mode(mesh):
     # int8 per-column scale: relative error bounded by ~1/127 per element
     # times the row's accumulation magnitude.
     assert err.mean() / max(1.0, np.abs(ref).mean()) < 0.02
+
+
+def test_dist_checkpoint_resume(mesh, tmp_path):
+    """Distributed save -> resume: Orbax-restored leaves come back
+    committed to single devices and must be re-replicated over the mesh
+    (regression: jit rejected device-0 epoch vs mesh-replicated params)."""
+    ds = make_synthetic_dataset(n_nodes=200, avg_degree=6.0, n_classes=4,
+                                in_size=12, seed=35)
+    cfg = _Cfg(path=str(tmp_path), epochs=2, save_every=1, dropout=0.1)
+    DistTrainer(cfg, ds, mesh=mesh, row_block=8, edge_tile=32).fit()
+    cfg2 = _Cfg(path=str(tmp_path), epochs=4, save_every=2, resume=True,
+                dropout=0.1)
+    res = DistTrainer(cfg2, ds, mesh=mesh, row_block=8, edge_tile=32).fit()
+    # Resumed at epoch 2, trained 2 more of the 4-epoch budget.
+    assert res.epochs_run == 2
+    assert [h["epoch"] for h in res.history] == [2, 3]

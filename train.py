@@ -68,6 +68,7 @@ def main():
         from maxk_tpu.train.checkpoint import CheckpointManager
         ckpt = CheckpointManager(os.path.join(config.evaluate, "ckpt"))
         state, step = ckpt.restore(trainer.init_state())
+        state = trainer._place_state(state)   # re-replicate on a mesh
         ckpt.close()
         train_acc, val_acc, test_acc = trainer.evaluate_masks(state)
         logger.info(f"Evaluate-only @ epoch {step}: "

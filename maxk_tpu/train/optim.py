@@ -31,7 +31,11 @@ def lookahead(inner: optax.GradientTransformation, alpha: float = 0.5,
     def init(params):
         return LookaheadState(
             inner=inner.init(params),
-            slow=jax.tree.map(jnp.asarray, params),
+            # Real copies: jnp.asarray on a jax.Array is a no-op, and an
+            # aliased slow buffer makes any donating jit of (params,
+            # opt_state) fail with "donate the same buffer twice" (hit by
+            # DistTrainer's donated train step).
+            slow=jax.tree.map(lambda p: jnp.array(p, copy=True), params),
             step=jnp.zeros((), jnp.int32),
             initialized=jnp.zeros((), jnp.bool_),
         )

@@ -265,3 +265,16 @@ def test_golden_gcn_accuracy(tmp_path):
                log_every=1000, compute_dtype="float32")
     res = Trainer(cfg, ds).fit()
     assert res.best_val > 0.78
+
+
+def test_lookahead_slow_weights_not_aliased():
+    """Regression: the slow buffer must be a real copy of params —
+    aliased leaves make any donating jit of (params, opt_state) fail
+    with 'donate the same buffer twice' (DistTrainer's donated step)."""
+    import jax.numpy as jnp
+    from maxk_tpu.train.optim import make_optimizer
+    opt = make_optimizer(0.01, enable_lookahead=True)
+    params = {"w": jnp.ones((4, 4))}
+    st = opt.init(params)
+    assert (st.slow["w"].unsafe_buffer_pointer()
+            != params["w"].unsafe_buffer_pointer())

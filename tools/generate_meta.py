@@ -9,7 +9,10 @@ expect .warp4 dumps keep working.
 """
 
 import argparse
+import sys
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from maxk_tpu.data.loaders import available_graphs, load_csr_binary
 from maxk_tpu.data.warp4 import generate_warp4, save_warp4, META_DIRNAME

@@ -87,6 +87,12 @@ class TrainConfig(argparse.ArgumentParser):
 
     def parse_args(self, args=None, namespace=None):
         config = super().parse_args(args, namespace)
+        if config.nonlinear == "maxk" and config.maxk > config.hidden_dim:
+            self.error(
+                f"--maxk {config.maxk} exceeds --hidden_dim "
+                f"{config.hidden_dim}: MaxK keeps k of the hidden "
+                f"channels, so k must be <= hidden_dim (the reference's "
+                f"torch.topk would fail the same way at the first layer)")
         if config.path is None:
             ts = time.strftime("%Y%m%d_%H%M%S")
             config.path = (f"experiments/{config.dataset}_{config.model}"

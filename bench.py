@@ -74,8 +74,12 @@ def main():
 
     g = build_tiled_graph(csr)
     gt = build_tiled_graph(csr.transpose())
-    log(f"tiles: T={g.n_tiles} R={g.row_block} C={g.edge_tile} "
-        f"pad={(g.n_tiles*g.edge_tile - csr.n_edges)/(g.n_tiles*g.edge_tile):.2%}")
+    if hasattr(g, "n_tiles"):
+        log(f"tiles: T={g.n_tiles} R={g.row_block} C={g.edge_tile} "
+            f"pad={(g.n_tiles*g.edge_tile - csr.n_edges)/(g.n_tiles*g.edge_tile):.2%}")
+    else:
+        log(f"column-parted graph: {g.n_parts} parts of "
+            f"{g.col_part_rows} rows")
 
     nnz = csr.n_edges
 
@@ -89,9 +93,12 @@ def main():
         f"({t_tiled.nnz_per_s(nnz)/1e9:.2f} Gnnz/s)")
 
     # Unfused scatter-add oracle (round-1's flattering denominator, kept
-    # for continuity in the logs only).
+    # for continuity in the logs only). spmm_segment only accepts the
+    # unparted form — build one regardless of graph size.
+    g_seg = g if hasattr(g, "n_tiles") else build_tiled_graph(
+        csr, col_part_rows=0)
     base_fn = jax.jit(spmm_segment)
-    t_seg = time_fn(lambda: base_fn(g, x), warmup=4, runs=4)
+    t_seg = time_fn(lambda: base_fn(g_seg, x), warmup=4, runs=4)
     log(f"unfused spmm_segment: {t_seg.mean_ms:.2f} ms "
         f"({t_seg.nnz_per_s(nnz)/1e9:.2f} Gnnz/s)")
 

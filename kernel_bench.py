@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--large", action="store_true",
                     help="include reddit/products-scale synthetic shapes "
                          "(minutes of host tiling + GBs of transfer)")
+    ap.add_argument("--suite24", action="store_true",
+                    help="run the 24-graph shape-stand-in suite "
+                         "(harness.SUITE24_SPECS) instead of the default "
+                         "synthetic suite — hours of TPU time")
     ap.add_argument("--json", default=None, help="write results JSON here")
     args = ap.parse_args()
 
@@ -60,6 +64,9 @@ def main():
                       f"synthetic suite graph of that name", file=sys.stderr)
                 return 2
             graphs = [(stem, g)]
+    elif args.suite24:
+        from maxk_tpu.bench.harness import suite24
+        graphs = suite24()
     else:
         names = available_graphs(args.graphs)
         if names:

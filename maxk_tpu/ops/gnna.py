@@ -65,6 +65,12 @@ def build_parts(csr: CSRGraph, part_size: Optional[int] = None,
 
     rows_nz = np.nonzero(groups_per_row)[0]
     row[:g] = np.repeat(rows_nz, groups_per_row[rows_nz]).astype(np.int32)
+    # Padding groups carry the LAST real row id, not 0: the flush is a
+    # segment_sum with indices_are_sorted=True, and a 0 after ascending
+    # real rows would violate the sorted contract (their partials are
+    # all-zero either way, so the target row is unaffected).
+    if g and g < g_pad:
+        row[g:] = row[g - 1]
     starts = np.concatenate([[0], np.cumsum(groups_per_row)[:-1]])
     intra = (np.arange(g) - np.repeat(starts[rows_nz],
                                       groups_per_row[rows_nz])) * part_size

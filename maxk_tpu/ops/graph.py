@@ -269,15 +269,18 @@ def build_tiled_graph(csr: CSRGraph,
     if col_part_rows is None:
         col_part_rows = COL_PART_ROWS if csr.n_nodes > _PART_THRESHOLD else 0
     if col_part_rows and csr.n_nodes > col_part_rows:
-        from maxk_tpu.ops.tiling import split_csr_columns, choose_tile_sizes
+        from maxk_tpu.ops.tiling import (split_csr_columns,
+                                         choose_tile_sizes_exact)
         parts = []
         for indptr_p, idx_p, val_p in split_csr_columns(
                 csr.indptr, csr.indices, csr.values, col_part_rows):
             e_p = int(idx_p.shape[0])
-            # Per-part sizes from the PART's degree (each part sees ~1/P
-            # of every row's edges) — parts may differ in R; ops.spmm
-            # handles heterogeneous parts.
-            rb_p, et_p = choose_tile_sizes(csr.n_nodes, max(1, e_p))
+            # Per-part sizes from the PART's actual per-block edge counts
+            # (exact chooser: power-law skew makes the mean-degree
+            # heuristic's padding estimate off ~2x in this low-fill
+            # regime) — parts may differ in R/C; ops.spmm handles
+            # heterogeneous parts.
+            rb_p, et_p = choose_tile_sizes_exact(indptr_p)
             ts = build_tiles_fast(indptr_p, idx_p, val_p,
                                   row_block=row_block or rb_p,
                                   edge_tile=edge_tile or et_p)

@@ -286,17 +286,21 @@ def spgemm_forward_cbsr(g: TiledGraph, values: jax.Array,
     API parity with the reference's stateless kernel entry point
     ``maxk_cuda_kernels.spmm_maxk_forward`` (cuda_kernel_bindings.cpp:42-104).
 
-    Execution strategies (fastest first on measured v5e numbers):
+    Execution strategies (v5e numbers in BASELINE.md's formulation study):
+    - default (bf16/f32): node-level expansion + dense-operand SpMM —
+      the measured optimum (0.92-0.98x of dense tiled SpMM; XLA fuses
+      the 128-lane packed gather into the one-hot dot).
     - compute_dtype="int8_rowscale": node-level expansion quantized to
       int8 with a per-row scale folded into the one-hot reduce — a single
-      <=96-lane gather descriptor per edge (the dense bf16 row pays the
-      512-byte width penalty). Numerics match the reference's own uint8
-      CBSR kernel path (maxk_kernel.cu quantizes activations to uint8,
+      <=96-lane gather descriptor per edge. Measured SLOWER (0.61x: the
+      narrower row buys nothing against the row-count-bound gather unit
+      and the scale handling costs fusion). Kept as a measured opt-in;
+      numerics match the reference's own uint8 CBSR kernel path
+      (maxk_kernel.cu quantizes activations to uint8,
       cuda_kernel_bindings.cpp:211-231) and validate under the reference
       tolerance (mean err < 1e-3).
-    - default (bf16/f32): node-level expansion + dense-operand SpMM.
-    - cbsr_gather=True / CBSR_GATHER_MODE: the CBSR-operand tile-expand
-      formulation (measured slower; kept for parity + the record).
+    - CBSR_GATHER_MODE: the CBSR-operand tile-expand formulation
+      (measured 0.28-0.92x; kept for parity + the record).
 
     Row-partitioned execution (g.gather_axis set): the all-gather moves the
     COMPRESSED (V, k) values + selectors over ICI instead of the (V, D)
@@ -331,6 +335,43 @@ def spgemm_forward_cbsr(g: TiledGraph, values: jax.Array,
                 compute_dtype=compute_dtype)
 
 
+def _cbsr_wire_exchange(values: jax.Array, selector: jax.Array,
+                        spec, dim: int, cd) -> tuple[jax.Array, jax.Array]:
+    """One halo exchange of the CBSR operand, returning the RECEIVED
+    (values, selector) rows.
+
+    Packed wire (bf16 compute, dim <= 256, k within the packers' range):
+    bf16 value pairs + uint8 selector quads — 3k/4 int32 lanes per row.
+    Exact wire (f32 validation / dim > 256 / large k): raw values with
+    the selector bitcast alongside, still one collective and still
+    k-compressed relative to dense rows.
+    """
+    from maxk_tpu.parallel.halo import halo_exchange
+    n_local = values.shape[0]
+    k0 = values.shape[1]
+    if cd != jnp.float32 and dim <= 256 and k0 <= _CBSR_GATHER_MAX_K:
+        values_p, selector_p, k = _cbsr_pad_k(values, selector)
+        table = _cbsr_pack_table(values_p, selector_p)   # (n_local, 3k/4)
+        recv = halo_exchange(table, spec)[n_local:]
+        lo, hi = _unpack_bf16_pairs(recv[:, : k // 2])
+        v_r = jnp.concatenate([lo, hi], axis=1)
+        s_r = jnp.concatenate(_unpack_uint8_quads(recv[:, k // 2:]), axis=1)
+        return v_r, s_r
+    if values.dtype.itemsize == 4 and selector.dtype.itemsize == 4:
+        # Single collective: selector lanes bitcast to the value dtype and
+        # concatenated (lossless 32-bit reinterpret both ways).
+        wire = jnp.concatenate(
+            [values, jax.lax.bitcast_convert_type(selector, values.dtype)],
+            axis=1)
+        recv = halo_exchange(wire, spec)[n_local:]
+        v_r = recv[:, :k0]
+        s_r = jax.lax.bitcast_convert_type(recv[:, k0:], selector.dtype)
+        return v_r, s_r
+    v_r = halo_exchange(values, spec)[n_local:]
+    s_r = halo_exchange(selector, spec)[n_local:]
+    return v_r, s_r
+
+
 def _spgemm_cbsr_halo(g, values: jax.Array, selector: jax.Array,
                       dim: int, compute_dtype) -> jax.Array:
     """Halo-mode fused forward: exchange the CBSR wire format, expand at
@@ -345,25 +386,11 @@ def _spgemm_cbsr_halo(g, values: jax.Array, selector: jax.Array,
     local-first overlap structure as ops.spmm._spmm_halo. For float32
     compute (validation) the exchange carries exact f32 values.
     """
-    from maxk_tpu.parallel.halo import halo_exchange
     from maxk_tpu.ops.spmm import _pack_x, _halo_dense_scans
     spec = g.halo
     cd = jnp.dtype(compute_dtype)
-    n_local = values.shape[0]
     x_local = cbsr_expand(values, selector, dim)
-    k0 = values.shape[1]
-    if cd != jnp.float32 and dim <= 256 and k0 <= _CBSR_GATHER_MAX_K:
-        values, selector, k = _cbsr_pad_k(values, selector)
-        table = _cbsr_pack_table(values, selector)       # (n_local, 3k/4)
-        recv = halo_exchange(table, spec)[n_local:]
-        lo, hi = _unpack_bf16_pairs(recv[:, : k // 2])
-        v_r = jnp.concatenate([lo, hi], axis=1)
-        s_r = jnp.concatenate(_unpack_uint8_quads(recv[:, k // 2:]), axis=1)
-    else:
-        # Exact-value wire (f32 validation / dim > 256): raw CBSR arrays —
-        # still k-compressed relative to dense rows.
-        v_r = halo_exchange(values, spec)[n_local:]
-        s_r = halo_exchange(selector, spec)[n_local:]
+    v_r, s_r = _cbsr_wire_exchange(values, selector, spec, dim, cd)
     x_recv = cbsr_expand(v_r, s_r, dim)
     x_full = jnp.concatenate([x_local, x_recv], axis=0)
     cdname = _dtype_name(jnp.bfloat16 if cd == jnp.int8 else cd)
@@ -384,26 +411,14 @@ def _spgemm_cbsr_halo_parted(g, values: jax.Array, selector: jax.Array,
     materialized <= col_part_rows-row slices of the local / received
     tables (the fast-descriptor regime, like ops.spmm._spmm_halo_parted).
     """
-    from maxk_tpu.parallel.halo import halo_exchange
     from maxk_tpu.ops.spmm import _pack_x, _scan_col_parts
     spec = g.spec
     cd = jnp.dtype(compute_dtype)
     n_local = values.shape[0]
     x_local = cbsr_expand(values, selector, dim)
-    k0 = values.shape[1]
     v_r = s_r = None
     if spec is not None:
-        if cd != jnp.float32 and dim <= 256 and k0 <= _CBSR_GATHER_MAX_K:
-            values_p, selector_p, k = _cbsr_pad_k(values, selector)
-            table = _cbsr_pack_table(values_p, selector_p)
-            recv = halo_exchange(table, spec)[n_local:]
-            lo, hi = _unpack_bf16_pairs(recv[:, : k // 2])
-            v_r = jnp.concatenate([lo, hi], axis=1)
-            s_r = jnp.concatenate(
-                _unpack_uint8_quads(recv[:, k // 2:]), axis=1)
-        else:
-            v_r = halo_exchange(values, spec)[n_local:]
-            s_r = halo_exchange(selector, spec)[n_local:]
+        v_r, s_r = _cbsr_wire_exchange(values, selector, spec, dim, cd)
     cdname = _dtype_name(jnp.bfloat16 if cd == jnp.int8 else cd)
     xp_l, scale, unpack, cdt = _pack_x(x_local, cdname)
     out = jnp.zeros((g.n_rows_padded, dim), dtype=jnp.float32)

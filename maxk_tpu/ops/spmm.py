@@ -173,6 +173,13 @@ def _unpack_uint8_quads(xp: jax.Array) -> tuple[jax.Array, ...]:
 import os as _os
 _GATHER_MAX_LANES = int(_os.environ.get("MAXK_GATHER_MAX_LANES", "128"))
 
+# lax.scan unroll factor for the tile scans. The roofline's ideal-overlap
+# floor is ~2x below the serial model (gather/matmul/accumulate phases are
+# serialized within a scan step); unrolling inlines N consecutive steps so
+# XLA may hoist step i+1's gather (independent of the accumulator) over
+# step i's matmuls. Probe: tools/probe_unroll.py.
+_SCAN_UNROLL = int(_os.environ.get("MAXK_SCAN_UNROLL", "1"))
+
 
 def _split_tables(xp: jax.Array) -> tuple[jax.Array, ...]:
     """Split a packed gather table into <=96-lane compact column chunks."""
@@ -273,7 +280,9 @@ def _scan_tiles(cols, vals, lrow, block, tables, out, compute_dtype,
             out = jax.lax.dynamic_update_slice(out, cur + t, (off, 0))
         return out, None
 
-    out, _ = jax.lax.scan(step, out, (gcols, gvals, glrow, gblock))
+    unroll = _SCAN_UNROLL if t_tiles // group >= _SCAN_UNROLL > 1 else 1
+    out, _ = jax.lax.scan(step, out, (gcols, gvals, glrow, gblock),
+                          unroll=unroll)
     return out
 
 

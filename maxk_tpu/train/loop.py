@@ -182,6 +182,14 @@ class FitLoop:
             if early_stopped:
                 break
 
+        # Early stop may break out between trace start and the scheduled
+        # stop epoch — flush the trace so it isn't lost (and a later
+        # start_trace in-process doesn't raise "already in progress").
+        if profile_epochs and epoch >= profile_epochs[0]:
+            jax.profiler.stop_trace()
+            if self.logger:
+                self.logger.info(f"Profile trace in {cfg.path}/profile")
+
         if ckpt:
             ckpt.close()
         _, _, final_test = self.evaluate_masks(state)

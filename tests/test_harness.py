@@ -88,3 +88,32 @@ def test_synthetic_suite_shapes():
     assert len(set(names)) == len(names)
     for _, csr in suite:
         assert csr.n_edges > 0
+
+
+def test_suite24_specs():
+    # 24 shape stand-ins, unique names, resolvable via synthetic_by_name.
+    assert len(harness.SUITE24_SPECS) == 24
+    names = [n for n, _, _ in harness.SUITE24_SPECS]
+    assert len(set(names)) == len(names)
+    g = harness.synthetic_by_name("s24_cora")
+    assert g is not None and g.n_nodes == 2708
+
+
+def test_gnna_padding_rows_sorted():
+    """Padding groups must not break segment_sum's sorted-indices
+    contract (they carry the LAST real row id, not 0) and must not
+    perturb the result."""
+    from maxk_tpu.ops.gnna import build_parts, spmm_gnna
+    from maxk_tpu.ops.spmm import spmm_dense_oracle
+    import jax.numpy as jnp
+
+    g = random_graph(n_nodes=300, avg_degree=7.0, seed=3, power_law=True)
+    parts = build_parts(g, chunk_groups=64)   # force padding groups
+    assert parts.n_groups % 64 == 0
+    assert np.all(np.diff(parts.row.astype(np.int64)) >= 0)
+    x = np.random.default_rng(0).normal(
+        size=(g.n_nodes, 16)).astype(np.float32)
+    out = np.asarray(spmm_gnna(parts, jnp.asarray(x)))
+    # GNNA SAG is the unweighted neighbor sum.
+    ref = spmm_dense_oracle(g.with_values(np.ones(g.n_edges, np.float32)), x)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)

@@ -152,6 +152,75 @@ def candidate_b(lrow, vals, block, xg, r, n_blocks, interpret=False):
     )(block, lrow3, vals3, xg3)
 
 
+def candidate_c(lrow, vals, block, xg, r, n_blocks, interpret=False,
+                transpose_in_kernel=False, sub=256):
+    """Transposed one-hot: edge dim in SUBLANES throughout.
+
+    Tile metadata is delivered pre-transposed as (C, T) so the per-tile
+    column lrow_t[:, t] is a natural (C, 1) sublane-major VMEM block —
+    broadcasting it across LANES to (C_sub, R) is the supported relayout
+    direction (the round-1/2 blockers all replicated lanes into
+    sublanes). The one-hot P is built transposed (E, R) and contracted
+    with xg (E, D) over the sublane dim:
+      - transpose_in_kernel=False: dot_general contracting dim 0 of both;
+      - transpose_in_kernel=True: explicit transpose to (R, E) + plain dot.
+    """
+    t_tiles, c = lrow.shape
+    d = xg.shape[1]
+    lrow_t = lrow.T.reshape(c, t_tiles)        # (C, T) sublane-major edges
+    vals_t = vals.T.reshape(c, t_tiles)
+    xg3 = xg.reshape(t_tiles, c, d)
+
+    def kernel(blk_ref, lrow_ref, vals_ref, xg_ref, out_ref):
+        t = pl.program_id(0)
+
+        def body(i, acc):
+            sl = pl.ds(i * sub, sub)
+            lr = lrow_ref[sl, :]               # (sub, 1)
+            vl = vals_ref[sl, :].astype(jnp.bfloat16)
+            r_ids = jax.lax.broadcasted_iota(jnp.int32, (sub, r), 1)
+            p_t = jnp.where(jnp.broadcast_to(lr, (sub, r)) == r_ids,
+                            jnp.broadcast_to(vl, (sub, r)),
+                            jnp.zeros((), jnp.bfloat16))      # (sub, R)
+            x = xg_ref[0, sl, :].astype(jnp.bfloat16)          # (sub, D)
+            if transpose_in_kernel:
+                p = jax.lax.transpose(p_t, (1, 0))             # (R, sub)
+                return acc + jnp.dot(p, x,
+                                     preferred_element_type=jnp.float32)
+            return acc + jax.lax.dot_general(
+                p_t, x, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        t_out = jax.lax.fori_loop(0, c // sub, body,
+                                  jnp.zeros((r, d), jnp.float32))
+
+        first = jnp.logical_or(t == 0, blk_ref[t] != blk_ref[t - 1])
+
+        @pl.when(first)
+        def _():
+            out_ref[:] = t_out
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[:] = out_ref[:] + t_out
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_tiles,),
+        in_specs=[
+            pl.BlockSpec((c, 1), lambda t, blk: (0, t)),
+            pl.BlockSpec((c, 1), lambda t, blk: (0, t)),
+            pl.BlockSpec((1, c, d), lambda t, blk: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((r, d), lambda t, blk: (blk[t], 0)),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * r, d), jnp.float32),
+        interpret=interpret,
+    )(block, lrow_t, vals_t, xg3)
+
+
 def main():
     import signal
 
@@ -163,7 +232,10 @@ def main():
         raise TimeoutError("compile/run exceeded 150s")
 
     signal.signal(signal.SIGALRM, handler)
-    for name, fn in (("B_lanegroup_128", candidate_b),
+    for name, fn in (("C_transposed_dotgen", candidate_c),
+                     ("C_transposed_explicitT", functools.partial(
+                         candidate_c, transpose_in_kernel=True)),
+                     ("B_lanegroup_128", candidate_b),
                      ("A_lead_bcast_dotgen", candidate_a)):
         signal.alarm(150)
         try:

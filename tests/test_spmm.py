@@ -32,6 +32,26 @@ def test_spmm_tiled_matches_oracle(small_graph, row_block, edge_tile):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_spmm_scan_unroll_matches_oracle(small_graph):
+    """The MAXK_SCAN_UNROLL pipelining knob must not change numerics
+    (same body, inlined N consecutive scan steps)."""
+    import importlib
+    import jax
+    spmm_mod = importlib.import_module("maxk_tpu.ops.spmm")
+    x = _features(small_graph.n_nodes, 48)
+    ref = spmm_dense_oracle(small_graph, x)
+    g = build_tiled_graph(small_graph, row_block=16, edge_tile=64)
+    old = spmm_mod._SCAN_UNROLL
+    try:
+        spmm_mod._SCAN_UNROLL = 2
+        jax.clear_caches()
+        out = np.asarray(spmm(g, jnp.asarray(x), compute_dtype=jnp.float32))
+    finally:
+        spmm_mod._SCAN_UNROLL = old
+        jax.clear_caches()
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_spmm_segment_matches_oracle(small_graph):
     x = _features(small_graph.n_nodes, 32)
     ref = spmm_dense_oracle(small_graph, x)

@@ -16,7 +16,8 @@
 //     never spanning two blocks;
 //   - padding slots get col=0, val=0, lrow=R (the discarded garbage row);
 //   - the tile count is rounded up to a multiple of the gather group
-//     (min(64, max(1, 65536 / C))) with all-padding tiles.
+//     (min(64, max(1, 65536 / C)) — MUST match ops/tiling.py
+//     gather_group) with all-padding tiles.
 //
 // Exposed via ctypes (no pybind11 in this environment) — see build.py.
 

@@ -270,17 +270,26 @@ def build_tiled_graph(csr: CSRGraph,
         col_part_rows = COL_PART_ROWS if csr.n_nodes > _PART_THRESHOLD else 0
     if col_part_rows and csr.n_nodes > col_part_rows:
         from maxk_tpu.ops.tiling import (split_csr_columns,
+                                         choose_tile_sizes,
                                          choose_tile_sizes_exact)
         parts = []
         for indptr_p, idx_p, val_p in split_csr_columns(
                 csr.indptr, csr.indices, csr.values, col_part_rows):
             e_p = int(idx_p.shape[0])
-            # Per-part sizes from the PART's actual per-block edge counts
-            # (exact chooser: power-law skew makes the mean-degree
-            # heuristic's padding estimate off ~2x in this low-fill
-            # regime) — parts may differ in R/C; ops.spmm handles
-            # heterogeneous parts.
-            rb_p, et_p = choose_tile_sizes_exact(indptr_p)
+            # Per-part sizes: the measured-optimal heuristic where blocks
+            # fill their tiles, the exact per-block chooser where padding
+            # dominates. The gate is the heuristic's own fill estimate:
+            # below half a tile per block, padded slots outnumber edges
+            # and the exact chooser's padding-count minimization wins
+            # (power-law skew makes the mean-degree estimate off ~2x
+            # there); at moderate+ fill the big-tile heuristic is the
+            # measured optimum (BASELINE.md) and the slot-cost model's
+            # small-tile bias would regress it. Parts may differ in R/C;
+            # ops.spmm handles heterogeneous parts.
+            rb_p, et_p = choose_tile_sizes(csr.n_nodes, max(1, e_p))
+            deg_p = e_p / max(1, csr.n_nodes)
+            if rb_p * deg_p < et_p / 2.0:
+                rb_p, et_p = choose_tile_sizes_exact(indptr_p)
             ts = build_tiles_fast(indptr_p, idx_p, val_p,
                                   row_block=row_block or rb_p,
                                   edge_tile=edge_tile or et_p)

@@ -217,8 +217,12 @@ def _group_count(n_tiles: int, edge_tile: int, target_edges: int = 65536) -> int
     run at ~17 ns/row while 64k-edge gathers run at the hardware descriptor
     floor (~3.6 ns/row for 512-byte rows). Grouping tiles so each scan step
     issues one large gather recovers the 5x difference.
+
+    The cap (64, see tiling.gather_group) bounds the UNROLLED per-group
+    sub-tile loop in _scan_tiles (program size / compile time).
     """
-    s = max(1, min(64, target_edges // max(1, edge_tile)))
+    from maxk_tpu.ops.tiling import gather_group
+    s = gather_group(edge_tile, target_edges)
     while n_tiles % s:
         s -= 1
     return s

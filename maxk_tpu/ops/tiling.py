@@ -60,6 +60,20 @@ class TileSet(NamedTuple):
     pad_ratio: float
 
 
+# Tiles per ~64k-slot HBM gather group, capped at 64 to bound the
+# unrolled sub-tile loop in ops.spmm._scan_tiles (program size / compile
+# time — raising the cap to 128 doubled per-step program size for every
+# auto-sized small graph (the C=512 floor) and tripped the 40 s XLA CPU
+# collective watchdog on the 8-device virtual mesh). The 256-slot
+# low-fill tiles from choose_tile_sizes_exact therefore gather 16k slots
+# per scan step instead of the 64k optimum — a secondary cost next to
+# their 3-4x padded-slot reduction. MUST stay in sync with
+# native/tilepack.cpp round_tiles().
+def gather_group(edge_tile: int, target_edges: int = 65536) -> int:
+    """Gather-group size for an edge-tile width (before divisibility)."""
+    return max(1, min(64, target_edges // max(1, edge_tile)))
+
+
 def choose_tile_sizes(n_nodes: int, n_edges: int,
                       dim_hint: int = 256) -> tuple[int, int]:
     """Pick (row_block, edge_tile) for a graph.
@@ -110,8 +124,8 @@ _RMW_NS_PER_ROW = 2 * 256 * 4 / 819.0  # per tile row, at dim 256
 
 def choose_tile_sizes_exact(indptr: np.ndarray,
                             gather_ns: float = _GATHER_NS_PARTED,
-                            row_blocks=(64, 128, 256, 512),
-                            edge_tiles=(512, 1024, 1536, 2048, 3072,
+                            row_blocks=(64, 128, 256, 512, 1024),
+                            edge_tiles=(256, 512, 1024, 1536, 2048, 3072,
                                         4096, 6144, 8192)
                             ) -> tuple[int, int]:
     """Pick (row_block, edge_tile) by exact padded-slot counts.
@@ -182,7 +196,7 @@ def build_tiles(indptr: np.ndarray,
     # (ops.spmm groups ~64k edge slots per HBM gather): trailing all-padding
     # tiles accumulate zeros into the last block's garbage row, keeping the
     # tile->block map monotone.
-    group = max(1, min(64, 65536 // C))
+    group = gather_group(C)
     n_tiles = -(-n_tiles // group) * group
 
     cols = np.zeros((n_tiles, C), dtype=np.int32)

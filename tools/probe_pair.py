@@ -1,13 +1,16 @@
 #!/usr/bin/env python
-"""In-situ probe: paired-node gather rows for the tiled SpMM.
+"""In-situ probe: 1024-byte paired-node gather rows for the tiled SpMM.
 
-The in-kernel packed gather runs at ~2.7-2.8 ns/slot for (V, 128-lane)
-512-byte rows — 186 GB/s, 4.4x below the HBM byte floor, i.e.
-DESCRIPTOR-bound, not byte-bound. If the fused in-kernel rate stays
-per-descriptor at 1024-byte rows, packing TWO nodes' bf16 features into
-one (V/2, 256-lane) row halves the descriptor count per edge tile and
-could approach 2x on the whole SpMM. The risk: the isolated-gather width
-penalty (>=128 lanes -> ~117 M rows/s) may bite harder at 256 lanes.
+MACHINE-MODEL PROBE, not an expected win: gather descriptors are
+per-EDGE (each edge slot fetches its neighbor's row), so pairing two
+nodes per (V/2, 256-lane) row keeps the descriptor count and doubles
+the fetched bytes — if the in-kernel gather is purely descriptor-bound
+(the 512-byte rate is 186 GB/s, 4.4x under the byte floor) this measures
+~neutral, and the delta calibrates where the 512->1024-byte row cost
+lands between the descriptor and byte regimes (the isolated table shows
+a width cliff at >=128 lanes; in-kernel fusion behaves differently).
+A real descriptor reduction would need cross-edge dedup, which measures
+near-zero for sparse power-law neighbor lists.
 
 Formulation: cols >> 1 indexes the paired table; the per-edge parity
 (cols & 1) selects the low/high bf16 half after the gather, as a VPU

@@ -84,6 +84,13 @@ def main():
         results.append(benchmark_graph(
             csr, name, dim=args.dim, ks=tuple(args.ks),
             validate=not args.no_validate, run_gnna=not args.no_gnna))
+        if args.json:
+            # Rewrite after every graph: a multi-hour suite must not
+            # lose finished results to a crash on a later graph (the
+            # remote tunnel can drop mid-run).
+            with open(args.json, "w") as f:
+                json.dump(dict(results=[r.as_json() for r in results],
+                               partial=True), f, indent=2)
 
     summary = analyze_speedups(results)
 

@@ -44,6 +44,28 @@ def main():
     envp = os.environ.get("JAX_PLATFORMS")
     if envp:
         jax.config.update("jax_platforms", envp)
+
+    # Fail fast (not hang) when the remote TPU backend is unreachable:
+    # backend init over a dead tunnel blocks for unbounded time, which
+    # would stall any driver running this CLI. Probe it on a side thread
+    # with a hard cap.
+    import threading
+    _dev = {}
+
+    def _probe():
+        try:
+            _dev["d"] = jax.devices()
+        except Exception as e:           # backend init error
+            _dev["err"] = e
+
+    _t = threading.Thread(target=_probe, daemon=True)
+    _t.start()
+    _t.join(float(os.environ.get("MAXK_BACKEND_TIMEOUT_S", "600")))
+    if "d" not in _dev:
+        print(f"bench.py: JAX backend unavailable "
+              f"({_dev.get('err', 'init timed out')}); aborting",
+              file=sys.stderr)
+        os._exit(3)
     import jax.numpy as jnp
 
     from maxk_tpu.data.loaders import load_csr_binary, available_graphs, \

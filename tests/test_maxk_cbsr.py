@@ -74,6 +74,47 @@ def test_cbsr_roundtrip_equals_maxk(k):
     assert np.all(np.diff(s_np, axis=1) > 0)
 
 
+def test_maxk_spgemm_k_equals_dim(small_graph):
+    """k == D degenerates MaxK to identity: the fused op must equal the
+    plain SpMM of x (also exercises the maxk <= hidden_dim boundary the
+    config now validates)."""
+    d = 16
+    x = jnp.asarray(_x(small_graph.n_nodes, d, seed=4))
+    g = build_tiled_graph(small_graph, row_block=16, edge_tile=64)
+    g_t = build_tiled_graph(small_graph.transpose(), row_block=16,
+                            edge_tile=64)
+    y = maxk_spgemm(g, g_t, x, d, compute_dtype=jnp.float32)
+    ref = spmm_dense_oracle(small_graph, np.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_maxk_spgemm_odd_dim(small_graph):
+    """Odd feature dim routes the gather table through the unpacked-f32
+    path (bf16 pair packing needs D % 2 == 0) and CBSR expansion through
+    a non-lane-aligned dim."""
+    d, k = 33, 5
+    x = jnp.asarray(_x(small_graph.n_nodes, d, seed=5))
+    g = build_tiled_graph(small_graph, row_block=16, edge_tile=64)
+    g_t = build_tiled_graph(small_graph.transpose(), row_block=16,
+                            edge_tile=64)
+    y = maxk_spgemm(g, g_t, x, k, compute_dtype=jnp.float32)
+    ref = spmm_dense_oracle(small_graph, np.asarray(maxk(x, k)))
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-4, atol=2e-4)
+
+    def loss(xx):
+        return (maxk_spgemm(g, g_t, xx, k,
+                            compute_dtype=jnp.float32) ** 2).sum()
+
+    def loss_dense(xx):
+        from maxk_tpu.ops.spmm import spmm
+        return (spmm(g, maxk(xx, k), compute_dtype=jnp.float32) ** 2).sum()
+
+    gf = jax.grad(loss)(x)
+    gd = jax.grad(loss_dense)(x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_cbsr_gather_inverts_expand():
     x = jnp.asarray(_x(30, 32, seed=3))
     v, s = cbsr_topk(x, 8)

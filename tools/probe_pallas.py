@@ -221,6 +221,129 @@ def candidate_c(lrow, vals, block, xg, r, n_blocks, interpret=False,
     )(block, lrow_t, vals_t, xg3)
 
 
+def candidate_d(lrow, vals, block, xg, r, n_blocks, interpret=False,
+                sub=256):
+    """3-D metadata blocks: (T, C, 1) arrays with (1, c, 1) BlockSpecs.
+
+    Candidate C's (c, 1) block over a (C, T) array violates the Mosaic
+    block rule (last dim must be 128-divisible or equal the full array
+    dim). Storing the metadata as (T, C, 1) makes the trailing dim of the
+    BLOCK equal the trailing dim of the ARRAY (both 1), so the block is
+    legal, and lrow_ref[0] is natively a (C, 1) sublane-major column —
+    the broadcast to (sub, R) is in the LANE direction, the relayout
+    every prior failure avoided. Costs a 128x lane-padding blowup on the
+    metadata streams (HBM tiling pads the size-1 lane dim), so this is a
+    compile-feasibility probe, not a production layout.
+    """
+    t_tiles, c = lrow.shape
+    d = xg.shape[1]
+    lrow3 = lrow.reshape(t_tiles, c, 1)
+    vals3 = vals.reshape(t_tiles, c, 1)
+    xg3 = xg.reshape(t_tiles, c, d)
+
+    def kernel(blk_ref, lrow_ref, vals_ref, xg_ref, out_ref):
+        t = pl.program_id(0)
+
+        def body(i, acc):
+            sl = pl.ds(i * sub, sub)
+            lr = lrow_ref[0, sl, :]                        # (sub, 1)
+            vl = vals_ref[0, sl, :].astype(jnp.bfloat16)
+            r_ids = jax.lax.broadcasted_iota(jnp.int32, (sub, r), 1)
+            p_t = jnp.where(jnp.broadcast_to(lr, (sub, r)) == r_ids,
+                            jnp.broadcast_to(vl, (sub, r)),
+                            jnp.zeros((), jnp.bfloat16))   # (sub, R)
+            x = xg_ref[0, sl, :].astype(jnp.bfloat16)      # (sub, D)
+            return acc + jax.lax.dot_general(
+                p_t, x, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        t_out = jax.lax.fori_loop(0, c // sub, body,
+                                  jnp.zeros((r, d), jnp.float32))
+
+        first = jnp.logical_or(t == 0, blk_ref[t] != blk_ref[t - 1])
+
+        @pl.when(first)
+        def _():
+            out_ref[:] = t_out
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[:] = out_ref[:] + t_out
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, c, 1), lambda t, blk: (t, 0, 0)),
+            pl.BlockSpec((1, c, 1), lambda t, blk: (t, 0, 0)),
+            pl.BlockSpec((1, c, d), lambda t, blk: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((r, d), lambda t, blk: (blk[t], 0)),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * r, d), jnp.float32),
+        interpret=interpret,
+    )(block, lrow3, vals3, xg3)
+
+
+def candidate_e(lrow, vals, block, xg, r, n_blocks, interpret=False):
+    """Scalar-compare one-hot assembly: no broadcast relayout at all.
+
+    P is built row by row — P[q, :] = where(lrow == q, vals, 0), a lane-
+    wise compare of the (1, C) metadata row against the SCALAR loop index
+    (scalar broadcasts are always legal), written into a VMEM (R, C)
+    scratch with a dynamic SUBLANE update (the supported slice direction).
+    Then one natural (R, C) @ (C, D) MXU matmul per tile. Construction is
+    R vector-op iterations per tile; the matmul orientation and every
+    operand layout are native, so nothing relayouts.
+    """
+    t_tiles, c = lrow.shape
+    d = xg.shape[1]
+
+    def kernel(blk_ref, lrow_ref, vals_ref, xg_ref, out_ref, p_ref):
+        t = pl.program_id(0)
+        lr = lrow_ref[pl.ds(t, 1), :]                      # (1, C)
+        vl = vals_ref[pl.ds(t, 1), :].astype(jnp.bfloat16)
+
+        def fill(q, _):
+            row = jnp.where(lr == q, vl, jnp.zeros((), jnp.bfloat16))
+            p_ref[pl.ds(q, 1), :] = row
+            return 0
+
+        jax.lax.fori_loop(0, r, fill, 0)
+        x = xg_ref[0].astype(jnp.bfloat16)                 # (C, D)
+        t_out = jnp.dot(p_ref[:, :], x,
+                        preferred_element_type=jnp.float32)
+
+        first = jnp.logical_or(t == 0, blk_ref[t] != blk_ref[t - 1])
+
+        @pl.when(first)
+        def _():
+            out_ref[:] = t_out
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[:] = out_ref[:] + t_out
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_tiles,),
+        in_specs=[
+            pl.BlockSpec((t_tiles, c), lambda t, blk: (0, 0)),
+            pl.BlockSpec((t_tiles, c), lambda t, blk: (0, 0)),
+            pl.BlockSpec((1, c, d), lambda t, blk: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((r, d), lambda t, blk: (blk[t], 0)),
+        scratch_shapes=[pltpu.VMEM((r, c), jnp.bfloat16)],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * r, d), jnp.float32),
+        interpret=interpret,
+    )(block, lrow, vals, xg.reshape(t_tiles, c, d))
+
+
 def main():
     import signal
 
@@ -232,7 +355,9 @@ def main():
         raise TimeoutError("compile/run exceeded 150s")
 
     signal.signal(signal.SIGALRM, handler)
-    for name, fn in (("C_transposed_dotgen", candidate_c),
+    for name, fn in (("E_scalar_onehot_rows", candidate_e),
+                     ("D_3d_metadata_lanebcast", candidate_d),
+                     ("C_transposed_dotgen", candidate_c),
                      ("C_transposed_explicitT", functools.partial(
                          candidate_c, transpose_in_kernel=True)),
                      ("B_lanegroup_128", candidate_b),

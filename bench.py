@@ -116,9 +116,9 @@ def main():
 
     # Unfused scatter-add oracle (round-1's flattering denominator, kept
     # for continuity in the logs only). spmm_segment only accepts the
-    # unparted form — build one regardless of graph size.
-    g_seg = g if hasattr(g, "n_tiles") else build_tiled_graph(
-        csr, col_part_rows=0)
+    # unparted hub-free form — build one regardless of graph layout.
+    g_seg = g if hasattr(g, "n_tiles") and g.hub_ids is None \
+        else build_tiled_graph(csr, col_part_rows=0, hub_cols=0)
     base_fn = jax.jit(spmm_segment)
     t_seg = time_fn(lambda: base_fn(g_seg, x), warmup=4, runs=4)
     log(f"unfused spmm_segment: {t_seg.mean_ms:.2f} ms "

@@ -54,13 +54,16 @@ class DirectMaxKKernels:
 
     @property
     def g_oracle(self) -> TiledGraph:
-        """Unparted tiles for the segment-sum oracle: build_tiled_graph
-        auto-returns a PartedGraph above the fast-gather footprint, and
-        spmm_segment rejects PartedGraph by design."""
+        """Unparted, hub-free tiles for the segment-sum oracle:
+        build_tiled_graph auto-returns a PartedGraph above the fast-gather
+        footprint and auto-splits hub columns out of the tiles, and
+        spmm_segment rejects both by design."""
         if self._g_oracle is None:
             from maxk_tpu.ops.graph import PartedGraph
-            self._g_oracle = (build_tiled_graph(self.csr, col_part_rows=0)
-                              if isinstance(self.g, PartedGraph) else self.g)
+            self._g_oracle = (
+                build_tiled_graph(self.csr, col_part_rows=0, hub_cols=0)
+                if isinstance(self.g, PartedGraph)
+                or self.g.hub_ids is not None else self.g)
         return self._g_oracle
 
     # -- metadata ----------------------------------------------------------

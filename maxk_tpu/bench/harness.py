@@ -173,10 +173,12 @@ def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
     topk_ms, fwd_ms, bwd_ms = {}, {}, {}
     for n, k in enumerate(ks):
         if validate and n == 0:
-            # The segment-sum oracle runs on unparted tiles; the op under
-            # test keeps its production (possibly column-parted) layout.
-            g_seg = build_tiled_graph(csr, col_part_rows=0)
-            g_seg_t = build_tiled_graph(csr.transpose(), col_part_rows=0)
+            # The segment-sum oracle runs on unparted, hub-free tiles; the
+            # op under test keeps its production (possibly column-parted /
+            # hub-densified) layout.
+            g_seg = build_tiled_graph(csr, col_part_rows=0, hub_cols=0)
+            g_seg_t = build_tiled_graph(csr.transpose(), col_part_rows=0,
+                                        hub_cols=0)
             validation = _validate(g, g_t, g_seg, g_seg_t, x, k, dim)
             status = "pass" if validation["passed"] else "FAIL"
             log(f"# validation k={k}: mean_err={validation['mean_err']:.2e} "

@@ -163,6 +163,41 @@ def make_synthetic_dataset(n_nodes: int = 2048, avg_degree: float = 12.0,
                    metric="micro_f1")
 
 
+def make_synthetic_multilabel_dataset(
+        n_nodes: int = 4096, avg_degree: float = 16.0,
+        n_clusters: int = 12, n_targets: int = 16, in_size: int = 64,
+        seed: int = 0, feature_noise: float = 4.0, rewire_p: float = 0.7,
+        train_frac: float = 0.05, label_flip: float = 0.02,
+        metric: str = "micro_f1") -> Dataset:
+    """Learnable multilabel synthetic dataset (yelp/proteins-style).
+
+    Exercises the BCE-with-logits loss path and the multilabel metrics
+    (micro-F1 at logit>0 for the yelp recipe, rocauc for the proteins
+    recipe — reference maxk_gnn_dgl.py:81-84,41-75). Construction: the
+    single-label cluster machinery plants homophilous structure, then
+    each cluster activates a random ~3-of-n_targets subset and each
+    node's (V, n_targets) multi-hot label is its cluster's subset with
+    label_flip per-target noise, so targets are graph-predictable but
+    not perfectly separable.
+    """
+    base = make_synthetic_dataset(
+        n_nodes=n_nodes, avg_degree=avg_degree, n_classes=n_clusters,
+        in_size=in_size, seed=seed, feature_noise=feature_noise,
+        rewire_p=rewire_p, train_frac=train_frac)
+    rng = np.random.default_rng(seed + 1)
+    cluster_targets = (rng.uniform(size=(n_clusters, n_targets))
+                       < 3.0 / n_targets)
+    # Every cluster activates at least one target.
+    for c in np.nonzero(~cluster_targets.any(axis=1))[0]:
+        cluster_targets[c, rng.integers(n_targets)] = True
+    labels = cluster_targets[base.labels].astype(np.float32)
+    flip = rng.uniform(size=labels.shape) < label_flip
+    labels = np.where(flip, 1.0 - labels, labels).astype(np.float32)
+    return dataclasses.replace(
+        base, labels=labels, num_classes=n_targets, multilabel=True,
+        metric=metric)
+
+
 def load_dataset(name: str, data_path: str = "./data/",
                  selfloop: bool = False, seed: int = 0) -> Dataset:
     """Dataset switch matching the reference driver (maxk_gnn_dgl.py:136-206).

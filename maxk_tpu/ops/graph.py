@@ -12,6 +12,7 @@ can be jit-traced, donated, and sharded like any other array data.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import numpy as np
@@ -201,6 +202,12 @@ class TiledGraph:
     # cols index the [local rows | halo buffer] table and ops exchange only
     # the rows each shard actually needs (all_to_all over spec.axis).
     halo: Optional[object] = None
+    # Hub-column densification (see split_hub_columns): edges into these
+    # high-in-degree columns are NOT in the tiles; their contribution is
+    # hub_dense @ x[hub_ids], one MXU matmul off the descriptor-bound
+    # gather. None when the graph has no hub split.
+    hub_ids: Optional[jax.Array] = None      # (H,) int32 hub node ids
+    hub_dense: Optional[jax.Array] = None    # (V, H) f32 dense slab
 
     @property
     def n_tiles(self) -> int:
@@ -238,6 +245,10 @@ class PartedGraph:
     n_edges: int = struct.field(pytree_node=False)
     col_part_rows: int = struct.field(pytree_node=False)
     gather_axis: Optional[str] = struct.field(pytree_node=False, default=None)
+    # Hub-column densification (split applied BEFORE column parting; the
+    # parts cover the residual edges only). See TiledGraph.hub_ids.
+    hub_ids: Optional[jax.Array] = None
+    hub_dense: Optional[jax.Array] = None
 
     @property
     def n_parts(self) -> int:
@@ -256,16 +267,122 @@ class PartedGraph:
 COL_PART_ROWS = 131072
 _PART_THRESHOLD = 131072
 
+# ---------------------------------------------------------------------------
+# Hub-column densification
+# ---------------------------------------------------------------------------
+#
+# The tiled SpMM's cost is the per-edge HBM row gather (~2.8 ns/edge
+# in-kernel on v5e — descriptor-bound, BASELINE.md machine model). On
+# power-law graphs a few high-IN-degree "hub" columns receive a large
+# fraction of all edges; those edges can leave the sparse format
+# entirely: collect them into a dense (V, H) slab (slab column h = hub
+# node hub_ids[h], entries = edge values) and resolve them as ONE MXU
+# matmul, hub_dense @ x[hub_ids]. Per hub column the slab costs
+#   V * (4 B / HBM_BW  +  2*D flops / MXU_peak)  ~=  V * 7.5 ps   (D=256)
+# while each edge it absorbs saves one ~2.8 ns gather descriptor — the
+# TPU hybrid analog of the reference's hot-row warp splitting
+# (kernels/generate_meta.py splits ROWS at 64 nz for load balance).
+#
+# MEASURED OUTCOME (tools/probe_hub.py, v5e, syn_big_d100 V=131k
+# E=26.2M): NO WIN — 0.98-1.01x at H=512..4096 covering 7-16% of edges.
+# The slab matmul itself is as cheap as modeled (0.7-3.9 ms), but the
+# residual SpMM does not shrink with the removed edges: hub edges are
+# spread thinly across every row, so per-row edge counts rarely cross a
+# tile-slot boundary (ceil(row_nz / edge_tile) is unchanged) and the
+# scan still runs the same padded slots. The mechanism is therefore an
+# OPT-IN (hub_cols > 0, or MAXK_HUB_AUTO=1 for the machine-model gate),
+# kept correctness-validated (tests/test_spmm.py hub tests) for graphs
+# whose skew concentrates in few ROWS as well as columns, where slots do
+# collapse.
+#
+# The slab stays f32 (not bf16): validation paths compute in exact f32
+# and the slab read is bandwidth-cheap relative to the descriptors it
+# replaces. Sharded builds (parallel.partition) never engage hubs — the
+# slab would shard by rows but its columns index the global node space.
+
+HUB_MIN_NODES = 32768       # below this the whole graph gathers fast
+HUB_MIN_COLS = 128          # don't dispatch a slab matmul for fewer
+_HUB_BREAK_EVEN_FRAC = 1.0 / 300.0   # in-degree >= V*frac pays for itself
+_HUB_BUDGET_MB = float(os.environ.get("MAXK_HUB_BUDGET_MB", "256"))
+_HUB_AUTO = os.environ.get("MAXK_HUB_AUTO", "0") == "1"
+
+
+def split_hub_columns(csr: CSRGraph, max_cols: int, break_even_deg: int
+                      ) -> Optional[tuple[np.ndarray, np.ndarray, CSRGraph]]:
+    """Split off hub-column edges: (hub_ids, slab, residual) or None.
+
+    hub_ids: (H,) int32 sorted node ids with in-degree >= break_even_deg
+    (top-max_cols by in-degree, H rounded down to a lane multiple of 128);
+    slab: (V, H) float32 with slab[r, h] = sum of values of edges
+    r -> hub_ids[h]; residual: CSRGraph holding every other edge (CSR
+    order preserved — no re-sort).
+    """
+    in_deg = csr.in_degrees
+    cand = np.nonzero(in_deg >= max(1, break_even_deg))[0]
+    if len(cand) > max_cols:
+        cand = cand[np.argsort(-in_deg[cand], kind="stable")[:max_cols]]
+    h = (len(cand) // 128) * 128
+    if h == 0:
+        return None
+    if h < len(cand):
+        cand = cand[np.argsort(-in_deg[cand], kind="stable")[:h]]
+    hub_ids = np.sort(cand).astype(np.int32)
+
+    v = csr.n_nodes
+    pos = np.full(v, -1, np.int32)
+    pos[hub_ids] = np.arange(h, dtype=np.int32)
+    hub_edge = pos[csr.indices] >= 0
+    rows = np.repeat(np.arange(v, dtype=np.int64), np.diff(csr.indptr))
+
+    slab = np.zeros((v, h), np.float32)
+    np.add.at(slab, (rows[hub_edge], pos[csr.indices[hub_edge]]),
+              csr.values[hub_edge])
+
+    keep = ~hub_edge
+    resid_counts = np.diff(csr.indptr) - np.bincount(
+        rows[hub_edge], minlength=v)
+    indptr_r = np.zeros(v + 1, np.int64)
+    np.cumsum(resid_counts, out=indptr_r[1:])
+    residual = CSRGraph(indptr_r, csr.indices[keep], csr.values[keep])
+    return hub_ids, slab, residual
+
+
+def _auto_hub(csr: CSRGraph, hub_cols: Optional[int]):
+    """Resolve the hub_cols knob: None = default (OFF unless
+    MAXK_HUB_AUTO=1 opts into the machine-model gate — measured no-win
+    on the synthetic suite, see module note), 0 = off, >0 = force up to
+    that many hub columns (tests/tuning)."""
+    if hub_cols == 0:
+        return None
+    v = csr.n_nodes
+    if hub_cols is not None:
+        return split_hub_columns(csr, hub_cols, break_even_deg=1)
+    if not _HUB_AUTO or v < HUB_MIN_NODES:
+        return None
+    budget_cols = int(_HUB_BUDGET_MB * 2**20 / (4 * v))
+    break_even = max(HUB_MIN_COLS, int(v * _HUB_BREAK_EVEN_FRAC))
+    return split_hub_columns(csr, budget_cols, break_even)
+
 
 def build_tiled_graph(csr: CSRGraph,
                       row_block: Optional[int] = None,
                       edge_tile: Optional[int] = None,
-                      col_part_rows: Optional[int] = None):
+                      col_part_rows: Optional[int] = None,
+                      hub_cols: Optional[int] = None):
     """Host CSR -> device TiledGraph / PartedGraph (built once, on host).
 
     col_part_rows: None = auto (partition columns when the node count
     exceeds the fast-gather footprint); 0 = never partition.
+    hub_cols: None = auto hub-column densification (machine-model gate;
+    see split_hub_columns); 0 = off; >0 = force up to that many columns.
     """
+    n_edges_total = csr.n_edges   # tiles + hub slab (for rate reporting)
+    hub = _auto_hub(csr, hub_cols)
+    hub_kw = {}
+    if hub is not None:
+        hub_ids, slab, csr = hub[0], hub[1], hub[2]
+        hub_kw = dict(hub_ids=jnp.asarray(hub_ids),
+                      hub_dense=jnp.asarray(slab))
     if col_part_rows is None:
         col_part_rows = COL_PART_ROWS if csr.n_nodes > _PART_THRESHOLD else 0
     if col_part_rows and csr.n_nodes > col_part_rows:
@@ -295,8 +412,9 @@ def build_tiled_graph(csr: CSRGraph,
                                   edge_tile=edge_tile or et_p)
             parts.append(_tileset_to_device(ts, csr.n_nodes, e_p))
         return PartedGraph(parts=tuple(parts), n_nodes=csr.n_nodes,
-                           n_edges=csr.n_edges,
-                           col_part_rows=col_part_rows)
+                           n_edges=n_edges_total,
+                           col_part_rows=col_part_rows, **hub_kw)
     ts = build_tiles_fast(csr.indptr, csr.indices, csr.values,
                           row_block=row_block, edge_tile=edge_tile)
-    return _tileset_to_device(ts, csr.n_nodes, csr.n_edges)
+    g = _tileset_to_device(ts, csr.n_nodes, n_edges_total)
+    return g.replace(**hub_kw) if hub_kw else g

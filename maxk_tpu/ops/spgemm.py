@@ -214,10 +214,23 @@ def _rowscale_impl(cols, vals, lrow, block, table,
     return out
 
 
+def _hub_term_cbsr(g, values: jax.Array, selector: jax.Array, dim: int,
+                   compute_dtype) -> jax.Array:
+    """Hub-column contribution for the CBSR-operand formulations: expand
+    only the H hub rows and resolve them via the slab matmul (the hub
+    edges are not in g's tiles — see ops.graph.split_hub_columns)."""
+    from maxk_tpu.ops.spmm import hub_matmul
+    x_hub = cbsr_expand(jnp.take(values, g.hub_ids, axis=0),
+                        jnp.take(selector, g.hub_ids, axis=0), dim)
+    return hub_matmul(g.hub_dense, x_hub, compute_dtype)
+
+
 def _spgemm_rowscale_int8(g, values: jax.Array, selector: jax.Array,
                           dim: int) -> jax.Array:
     from maxk_tpu.ops.graph import PartedGraph
     table = _rowscale_int8_table(values, selector, dim)
+    hub = (_hub_term_cbsr(g, values, selector, dim, jnp.bfloat16)
+           if g.hub_ids is not None else None)
     if isinstance(g, PartedGraph):
         out = None
         v = table.shape[0]
@@ -232,10 +245,11 @@ def _spgemm_rowscale_int8(g, values: jax.Array, selector: jax.Array,
             # only the first n_nodes rows are real.
             part = part[: g.n_nodes]
             out = part if out is None else out + part
-        return out
-    return _rowscale_impl(g.cols, g.vals, g.lrow, g.block, table,
-                          g.row_block, g.n_rows_padded, dim,
-                          _group_count(g.n_tiles, g.edge_tile))[: g.n_nodes]
+        return out if hub is None else out + hub
+    out = _rowscale_impl(g.cols, g.vals, g.lrow, g.block, table,
+                         g.row_block, g.n_rows_padded, dim,
+                         _group_count(g.n_tiles, g.edge_tile))[: g.n_nodes]
+    return out if hub is None else out + hub
 
 
 def _cbsr_group(n_tiles: int, edge_tile: int) -> int:
@@ -256,6 +270,8 @@ def _spgemm_cbsr_gather(g, values: jax.Array, selector: jax.Array,
     from maxk_tpu.ops.graph import PartedGraph
     values, selector, k = _cbsr_pad_k(values, selector)
     cdname = _dtype_name(compute_dtype)
+    hub = (_hub_term_cbsr(g, values, selector, dim, compute_dtype)
+           if g.hub_ids is not None else None)
     if isinstance(g, PartedGraph):
         out = None
         v = values.shape[0]
@@ -271,11 +287,12 @@ def _spgemm_cbsr_gather(g, values: jax.Array, selector: jax.Array,
                 p.row_block, p.n_rows_padded, dim, k,
                 _cbsr_group(p.n_tiles, p.edge_tile), cdname)[: g.n_nodes]
             out = part if out is None else out + part
-        return out
-    return _spgemm_cbsr_impl(
+        return out if hub is None else out + hub
+    out = _spgemm_cbsr_impl(
         g.cols, g.vals, g.lrow, g.block, values, selector,
         g.row_block, g.n_rows_padded, dim, k,
         _cbsr_group(g.n_tiles, g.edge_tile), cdname)[: g.n_nodes]
+    return out if hub is None else out + hub
 
 
 def spgemm_forward_cbsr(g: TiledGraph, values: jax.Array,

@@ -66,6 +66,10 @@ def spmm_segment(g: TiledGraph, x: jax.Array) -> jax.Array:
     if isinstance(g, PartedGraph):
         raise TypeError("spmm_segment is the unparted oracle baseline; "
                         "build the graph with col_part_rows=0")
+    if g.hub_ids is not None:
+        raise TypeError("spmm_segment is the oracle baseline; build the "
+                        "graph with hub_cols=0 (hub edges are not in the "
+                        "tiles)")
     n_out = g.n_rows_padded
     d = x.shape[1]
 
@@ -480,6 +484,32 @@ def _spmm_halo_parted(g, x: jax.Array, compute_dtype) -> jax.Array:
     return out[: g.n_nodes].astype(x.dtype)
 
 
+def hub_matmul(hub_dense: jax.Array, x_rows: jax.Array,
+               compute_dtype) -> jax.Array:
+    """Hub-column contribution: hub_dense @ x_rows on the MXU.
+
+    The (V, H) slab holds the edge values of every edge into a hub
+    column (ops.graph.split_hub_columns), so this one matmul resolves
+    all of them — no gather descriptors. f32 compute (validation) runs
+    full-precision MXU passes; every other mode runs the standard
+    single-bf16-pass matmul, the same rounding as the tiled path's
+    packed-bf16 gather table.
+    """
+    cdname = _dtype_name(compute_dtype)
+    if cdname == "float32":
+        return jnp.dot(hub_dense, x_rows.astype(jnp.float32),
+                       preferred_element_type=jnp.float32,
+                       precision="highest")
+    return jnp.dot(hub_dense.astype(jnp.bfloat16),
+                   x_rows.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
+def _hub_term(g, x: jax.Array, compute_dtype) -> jax.Array:
+    return hub_matmul(g.hub_dense, jnp.take(x, g.hub_ids, axis=0),
+                      compute_dtype)
+
+
 def spmm(g, x: jax.Array,
          compute_dtype: Optional[jnp.dtype] = None) -> jax.Array:
     """Tiled SpMM: out[r] = sum_{e in row r} vals[e] * x[cols[e]].
@@ -502,6 +532,10 @@ def spmm(g, x: jax.Array,
     if g.gather_axis is not None:
         # Row-partitioned execution inside shard_map: fetch the full node
         # feature space over ICI, compute only the local row shard.
+        if g.hub_ids is not None:
+            raise TypeError("hub-densified graphs are single-device only "
+                            "(the slab rows address the global node "
+                            "space); build sharded graphs with hub off")
         x = jax.lax.all_gather(x, g.gather_axis, axis=0, tiled=True)
         g = g.replace(gather_axis=None)
     if isinstance(g, PartedGraph):
@@ -514,9 +548,12 @@ def spmm(g, x: jax.Array,
                                 max(p.n_rows_padded for p in g.parts),
                                 _dtype_name(compute_dtype),
                                 g.col_part_rows)
-        return out[: g.n_nodes].astype(x.dtype)
-    group = _group_count(g.n_tiles, g.edge_tile)
-    out = _spmm_tiled_impl(g.cols, g.vals, g.lrow, g.block, x,
-                           g.row_block, g.n_rows_padded,
-                           _dtype_name(compute_dtype), group)
-    return out[: g.n_nodes].astype(x.dtype)
+    else:
+        group = _group_count(g.n_tiles, g.edge_tile)
+        out = _spmm_tiled_impl(g.cols, g.vals, g.lrow, g.block, x,
+                               g.row_block, g.n_rows_padded,
+                               _dtype_name(compute_dtype), group)
+    out = out[: g.n_nodes]
+    if g.hub_ids is not None:
+        out = out + _hub_term(g, x, compute_dtype)
+    return out.astype(x.dtype)

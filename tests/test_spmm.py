@@ -263,3 +263,101 @@ def test_choose_tile_sizes_exact_beats_heuristic_on_skew():
     out = spmm(g, jnp.asarray(x), compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), spmm_dense_oracle(csr, x),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Hub-column densification (ops.graph.split_hub_columns)
+# ---------------------------------------------------------------------------
+
+def test_hub_split_partition_is_exact(skewed_graph):
+    """Hub slab + residual tiles must partition the edge set exactly."""
+    from maxk_tpu.ops.graph import split_hub_columns
+    split = split_hub_columns(skewed_graph, max_cols=128, break_even_deg=1)
+    assert split is not None
+    hub_ids, slab, residual = split
+    assert slab.shape == (skewed_graph.n_nodes, len(hub_ids))
+    # Every edge is in exactly one of the two halves (values conserved).
+    assert residual.n_edges + np.count_nonzero(
+        np.isin(skewed_graph.indices, hub_ids)) == skewed_graph.n_edges
+    np.testing.assert_allclose(
+        slab.sum() + residual.values.sum(), skewed_graph.values.sum(),
+        rtol=1e-5)
+    # Residual holds no hub-column edges; hub ids all exceed the cut.
+    assert not np.isin(residual.indices, hub_ids).any()
+    deg = skewed_graph.in_degrees
+    assert deg[hub_ids].min() >= 1
+
+
+def test_hub_spmm_matches_oracle(skewed_graph):
+    x = _features(skewed_graph.n_nodes, 48, seed=3)
+    ref = spmm_dense_oracle(skewed_graph, x)
+    g = build_tiled_graph(skewed_graph, row_block=16, edge_tile=64,
+                          hub_cols=128)
+    assert g.hub_ids is not None and g.hub_dense.shape[1] == 128
+    out = np.asarray(spmm(g, jnp.asarray(x), compute_dtype=jnp.float32))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+    # n_edges still reports the FULL edge count (rate denominators).
+    assert g.n_edges == skewed_graph.n_edges
+
+
+def test_hub_parted_spmm_matches_oracle(skewed_graph):
+    x = _features(skewed_graph.n_nodes, 32, seed=4)
+    ref = spmm_dense_oracle(skewed_graph, x)
+    g = build_tiled_graph(skewed_graph, col_part_rows=128, hub_cols=128)
+    from maxk_tpu.ops.graph import PartedGraph
+    assert isinstance(g, PartedGraph) and g.hub_ids is not None
+    out = np.asarray(spmm(g, jnp.asarray(x), compute_dtype=jnp.float32))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_hub_fused_maxk_spgemm_and_grad(skewed_graph):
+    """Fused MaxK SpGEMM forward + custom-VJP grad on a hub-densified
+    graph must match the hub-free dense reference."""
+    import jax
+    from maxk_tpu.ops.spgemm import maxk_spgemm
+    from maxk_tpu.ops.maxk import maxk
+
+    k, d = 8, 32
+    x = _features(skewed_graph.n_nodes, d, seed=5)
+    g = build_tiled_graph(skewed_graph, row_block=16, edge_tile=64,
+                          hub_cols=128)
+    gt = build_tiled_graph(skewed_graph.transpose(), row_block=16,
+                           edge_tile=64, hub_cols=128)
+    assert g.hub_ids is not None and gt.hub_ids is not None
+
+    def f(xx):
+        return (maxk_spgemm(g, gt, xx, k,
+                            compute_dtype=jnp.float32) ** 2).sum()
+
+    def f_ref(xx):
+        return ((spmm_dense_oracle(skewed_graph, np.asarray(maxk(
+            jnp.asarray(xx), k)))) ** 2).sum()
+
+    y = maxk_spgemm(g, gt, jnp.asarray(x), k, compute_dtype=jnp.float32)
+    y_ref = spmm_dense_oracle(skewed_graph,
+                              np.asarray(maxk(jnp.asarray(x), k)))
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-4)
+
+    grad = np.asarray(jax.grad(f)(jnp.asarray(x)))
+    eps, i, j = 1e-3, 7, 11
+    xp, xm = x.copy(), x.copy()
+    xp[i, j] += eps
+    xm[i, j] -= eps
+    fd = (f_ref(xp) - f_ref(xm)) / (2 * eps)
+    np.testing.assert_allclose(grad[i, j], fd, rtol=5e-2, atol=5e-3)
+
+
+def test_hub_rejected_by_segment_oracle(skewed_graph):
+    g = build_tiled_graph(skewed_graph, hub_cols=128)
+    with pytest.raises(TypeError):
+        spmm_segment(g, jnp.asarray(_features(skewed_graph.n_nodes, 16)))
+
+
+def test_hub_default_off(small_graph, skewed_graph):
+    # Hub split is opt-in (measured no-win on the synthetic suite — see
+    # ops.graph module note): the default build never engages it, so
+    # training goldens and benches keep bit-identical numerics.
+    assert build_tiled_graph(small_graph).hub_ids is None
+    assert build_tiled_graph(skewed_graph).hub_ids is None
+    # Explicit off always wins.
+    assert build_tiled_graph(skewed_graph, hub_cols=0).hub_ids is None

@@ -83,6 +83,31 @@ def main():
                    early_stopped=res.early_stopped)
         rows.append(row)
         print(json.dumps(row), flush=True)
+
+    # Multilabel goldens: the BCE-with-logits loss path with both
+    # multilabel metrics — micro-F1 at logit>0 (the yelp recipe) and
+    # rocauc (the ogbn-proteins recipe); reference maxk_gnn_dgl.py:81-84
+    # / :41-75. Same hard-variant sizing as the single-label recipe.
+    from maxk_tpu.data.datasets import make_synthetic_multilabel_dataset
+    for metric in ("micro_f1", "rocauc"):
+        ds_ml = make_synthetic_multilabel_dataset(
+            n_nodes=4096, avg_degree=16.0, n_clusters=12, n_targets=16,
+            in_size=64, seed=97, feature_noise=4.0, rewire_p=0.7,
+            train_frac=0.05, metric=metric)
+        for nonlinear, k in (("maxk", 32), ("relu", 0)):
+            cfg = Cfg(model="sage", nonlinear=nonlinear, maxk=k or 32,
+                      path=f"/tmp/golden_acc_ml_{metric}_{nonlinear}{k}")
+            Path(cfg.path).mkdir(parents=True, exist_ok=True)
+            res = Trainer(cfg, ds_ml).fit()
+            row = dict(model="sage", nonlinear=nonlinear, k=k or None,
+                       dataset=f"synthetic_multilabel/{metric}",
+                       best_val=round(res.best_val, 4),
+                       best_test=round(res.best_test, 4),
+                       best_epoch=res.best_epoch,
+                       epochs_run=res.epochs_run,
+                       early_stopped=res.early_stopped)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
     print(json.dumps({"golden": rows}))
 
 

@@ -344,6 +344,130 @@ def candidate_e(lrow, vals, block, xg, r, n_blocks, interpret=False):
     )(block, lrow, vals, xg.reshape(t_tiles, c, d))
 
 
+def candidate_f(lrow, vals, block, xg, r, n_blocks, interpret=False,
+                sub=256):
+    """Lane-8 metadata replication: (T, C, 8) arrays, (1, c, 8) blocks.
+
+    Candidate D's (.., 1) trailing block dim crashed the remote compiler
+    (tpu_compile_helper exit 1, diagnostic swallowed by the tunnel); 8 is
+    the native sublane count, so (sub, 8) slices may avoid whatever the
+    size-1 lane tiling hit. Metadata is host-replicated 8x across lanes
+    (compile-feasibility probe only — the 8x metadata HBM traffic rules
+    it out for production regardless).
+    """
+    t_tiles, c = lrow.shape
+    d = xg.shape[1]
+    lrow8 = np.broadcast_to(np.asarray(lrow)[:, :, None],
+                            (t_tiles, c, 8)).copy()
+    vals8 = np.broadcast_to(np.asarray(vals)[:, :, None],
+                            (t_tiles, c, 8)).copy()
+    xg3 = xg.reshape(t_tiles, c, d)
+
+    def kernel(blk_ref, lrow_ref, vals_ref, xg_ref, out_ref):
+        t = pl.program_id(0)
+
+        def body(i, acc):
+            sl = pl.ds(i * sub, sub)
+            lr = lrow_ref[0, sl, 0:1]                      # (sub, 1)
+            vl = vals_ref[0, sl, 0:1].astype(jnp.bfloat16)
+            r_ids = jax.lax.broadcasted_iota(jnp.int32, (sub, r), 1)
+            p_t = jnp.where(jnp.broadcast_to(lr, (sub, r)) == r_ids,
+                            jnp.broadcast_to(vl, (sub, r)),
+                            jnp.zeros((), jnp.bfloat16))   # (sub, R)
+            x = xg_ref[0, sl, :].astype(jnp.bfloat16)      # (sub, D)
+            return acc + jax.lax.dot_general(
+                p_t, x, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        t_out = jax.lax.fori_loop(0, c // sub, body,
+                                  jnp.zeros((r, d), jnp.float32))
+
+        first = jnp.logical_or(t == 0, blk_ref[t] != blk_ref[t - 1])
+
+        @pl.when(first)
+        def _():
+            out_ref[:] = t_out
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[:] = out_ref[:] + t_out
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, c, 8), lambda t, blk: (t, 0, 0)),
+            pl.BlockSpec((1, c, 8), lambda t, blk: (t, 0, 0)),
+            pl.BlockSpec((1, c, d), lambda t, blk: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((r, d), lambda t, blk: (blk[t], 0)),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * r, d), jnp.float32),
+        interpret=interpret,
+    )(block, jnp.asarray(lrow8), jnp.asarray(vals8), xg3)
+
+
+def candidate_g(lrow, vals, block, xg, r, n_blocks, interpret=False,
+                sub=256):
+    """Candidate C with a LEGAL full-array metadata block: (C, T) arrays
+    delivered whole ((c, t_tiles) block == array dims), the tile column
+    selected in-kernel by a dynamic LANE slice pl.ds(t, 1). Probes
+    whether Mosaic accepts dynamic lane-dim indexing where the dynamic
+    SUBLANE row select of round 1 relayout-failed."""
+    t_tiles, c = lrow.shape
+    d = xg.shape[1]
+    lrow_t = lrow.T.reshape(c, t_tiles)
+    vals_t = vals.T.reshape(c, t_tiles)
+    xg3 = xg.reshape(t_tiles, c, d)
+
+    def kernel(blk_ref, lrow_ref, vals_ref, xg_ref, out_ref):
+        t = pl.program_id(0)
+
+        def body(i, acc):
+            sl = pl.ds(i * sub, sub)
+            lr = lrow_ref[sl, pl.ds(t, 1)]                 # (sub, 1) dyn lane
+            vl = vals_ref[sl, pl.ds(t, 1)].astype(jnp.bfloat16)
+            r_ids = jax.lax.broadcasted_iota(jnp.int32, (sub, r), 1)
+            p_t = jnp.where(jnp.broadcast_to(lr, (sub, r)) == r_ids,
+                            jnp.broadcast_to(vl, (sub, r)),
+                            jnp.zeros((), jnp.bfloat16))
+            x = xg_ref[0, sl, :].astype(jnp.bfloat16)
+            return acc + jax.lax.dot_general(
+                p_t, x, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        t_out = jax.lax.fori_loop(0, c // sub, body,
+                                  jnp.zeros((r, d), jnp.float32))
+
+        first = jnp.logical_or(t == 0, blk_ref[t] != blk_ref[t - 1])
+
+        @pl.when(first)
+        def _():
+            out_ref[:] = t_out
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[:] = out_ref[:] + t_out
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_tiles,),
+        in_specs=[
+            pl.BlockSpec((c, t_tiles), lambda t, blk: (0, 0)),
+            pl.BlockSpec((c, t_tiles), lambda t, blk: (0, 0)),
+            pl.BlockSpec((1, c, d), lambda t, blk: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((r, d), lambda t, blk: (blk[t], 0)),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * r, d), jnp.float32),
+        interpret=interpret,
+    )(block, jnp.asarray(lrow_t), jnp.asarray(vals_t), xg3)
+
+
 def main():
     import signal
 
@@ -355,7 +479,9 @@ def main():
         raise TimeoutError("compile/run exceeded 150s")
 
     signal.signal(signal.SIGALRM, handler)
-    for name, fn in (("E_scalar_onehot_rows", candidate_e),
+    for name, fn in (("F_lane8_metadata", candidate_f),
+                     ("G_dynamic_lane_slice", candidate_g),
+                     ("E_scalar_onehot_rows", candidate_e),
                      ("D_3d_metadata_lanebcast", candidate_d),
                      ("C_transposed_dotgen", candidate_c),
                      ("C_transposed_explicitT", functools.partial(

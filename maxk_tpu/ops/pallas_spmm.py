@@ -38,12 +38,24 @@ Round-2 attempts (tools/probe_pallas.py) closed the remaining avenues:
   dim + multi-dim dot_general: 'tpu.matmul' rejects >1 contracting dims;
 - per-128-lane-group (R, 128) one-hot from a lane vector: the lane->
   sublane replication is the same blocked relayout.
-Even with a compiling kernel the payoff is bounded: the HBM row gather
-(~85% of kernel time at the measured in-kernel 2.8 ns/slot,
-tools/probe_kernels.py) cannot be expressed in Mosaic at all
-(dynamic_gather shape-equality rule; per-row DMA issue ~10x slower), so
-Pallas could only overlap the minor matmul/accumulate phases. The XLA
-path (ops.spmm) is the production backend.
+
+Round-2e ran the full candidate ladder on the live TPU (8 formulations,
+tools/probe_pallas.py): every edge-dim-in-SUBLANES layout that sidesteps
+the relayout rule — transposed one-hot via (C, T) metadata columns (C:
+rejected by the block rule, last block dim must be 128-divisible or the
+array dim), (T, C, 1) metadata (D), scalar-onehot scratch fill (E),
+8x lane-replicated (T, C, 8) metadata (F), dynamic lane slice of a
+full-array block (G) — is numerically correct in interpret mode
+(bf16-level error) but crashes the Mosaic compiler itself
+(tpu_compile_helper exit 1; diagnostics swallowed by the remote-compile
+tunnel). Beyond the compiler wall the formulation is also structurally
+bounded: the XLA production path fuses the HBM row gather INTO the
+one-hot dot without materializing the gathered rows, while any Pallas
+kernel runs after an XLA gather that must materialize its (E, D) output
+— paying the full gather cost (~85% of kernel time) plus a second
+read — so even a compiling tile-reduce starts from a deficit the saved
+per-tile output round-trips cannot recover. The XLA path (ops.spmm) is
+the production backend by measurement, not by default.
 """
 
 from __future__ import annotations

@@ -357,10 +357,8 @@ def candidate_f(lrow, vals, block, xg, r, n_blocks, interpret=False,
     """
     t_tiles, c = lrow.shape
     d = xg.shape[1]
-    lrow8 = np.broadcast_to(np.asarray(lrow)[:, :, None],
-                            (t_tiles, c, 8)).copy()
-    vals8 = np.broadcast_to(np.asarray(vals)[:, :, None],
-                            (t_tiles, c, 8)).copy()
+    lrow8 = jnp.broadcast_to(lrow[:, :, None], (t_tiles, c, 8))
+    vals8 = jnp.broadcast_to(vals[:, :, None], (t_tiles, c, 8))
     xg3 = xg.reshape(t_tiles, c, d)
 
     def kernel(blk_ref, lrow_ref, vals_ref, xg_ref, out_ref):

@@ -54,8 +54,16 @@ class Cfg:
 
 
 def main():
+    import argparse
     from maxk_tpu.data.datasets import make_synthetic_dataset
     from maxk_tpu.train.loop import Trainer
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only-multilabel", action="store_true",
+                    help="regenerate only the multilabel rows (the "
+                         "single-label table is seeded/deterministic and "
+                         "costs ~30 min of CPU)")
+    args = ap.parse_args()
 
     # Hard variant: high feature noise + 5% labeled nodes, so the model
     # must lean on aggregation and accuracies stay off the 1.0 ceiling.
@@ -70,6 +78,8 @@ def main():
         + [("sage", "relu", 0)] \
         + [(m, "maxk", 32) for m in ("gcn", "gin", "gnn_res")] \
         + [(m, "relu", 0) for m in ("gcn", "gin", "gnn_res")]
+    if args.only_multilabel:
+        cases = []
     for model, nonlinear, k in cases:
         cfg = Cfg(model=model, nonlinear=nonlinear, maxk=k or 32,
                   path=f"/tmp/golden_acc_{model}_{nonlinear}{k}")

@@ -302,6 +302,11 @@ _PART_THRESHOLD = 131072
 
 HUB_MIN_NODES = 32768       # below this the whole graph gathers fast
 HUB_MIN_COLS = 128          # don't dispatch a slab matmul for fewer
+HUB_MIN_DEG = 128           # auto-gate floor on hub IN-DEGREE (distinct
+                            # from HUB_MIN_COLS, which bounds slab width;
+                            # split_hub_columns' 128-rounding enforces the
+                            # width implicitly — keep the gates separate
+                            # so tuning one cannot silently move the other)
 _HUB_BREAK_EVEN_FRAC = 1.0 / 300.0   # in-degree >= V*frac pays for itself
 _HUB_BUDGET_MB = float(os.environ.get("MAXK_HUB_BUDGET_MB", "256"))
 _HUB_AUTO = os.environ.get("MAXK_HUB_AUTO", "0") == "1"
@@ -360,7 +365,7 @@ def _auto_hub(csr: CSRGraph, hub_cols: Optional[int]):
     if not _HUB_AUTO or v < HUB_MIN_NODES:
         return None
     budget_cols = int(_HUB_BUDGET_MB * 2**20 / (4 * v))
-    break_even = max(HUB_MIN_COLS, int(v * _HUB_BREAK_EVEN_FRAC))
+    break_even = max(HUB_MIN_DEG, int(v * _HUB_BREAK_EVEN_FRAC))
     return split_hub_columns(csr, budget_cols, break_even)
 
 

@@ -526,8 +526,16 @@ def spmm(g, x: jax.Array,
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16 if x.dtype == jnp.float32 else x.dtype
     if getattr(g, "local_parts", None) is not None:
+        if getattr(g, "hub_ids", None) is not None:
+            raise TypeError("hub-densified graphs are single-device only; "
+                            "halo-parted graphs must be built with hub off "
+                            "(the slab term would be silently dropped)")
         return _spmm_halo_parted(g, x, compute_dtype)
     if getattr(g, "halo", None) is not None:
+        if getattr(g, "hub_ids", None) is not None:
+            raise TypeError("hub-densified graphs are single-device only; "
+                            "halo graphs must be built with hub off "
+                            "(the slab term would be silently dropped)")
         return _spmm_halo(g, x, compute_dtype)
     if g.gather_axis is not None:
         # Row-partitioned execution inside shard_map: fetch the full node

@@ -118,7 +118,11 @@ def main():
                        early_stopped=res.early_stopped)
             rows.append(row)
             print(json.dumps(row), flush=True)
-    print(json.dumps({"golden": rows}))
+    # --only-multilabel regenerates a PARTIAL table; label it as such so
+    # redirecting the output over the stored golden file cannot silently
+    # drop the single-label rows.
+    key = "golden_multilabel" if args.only_multilabel else "golden"
+    print(json.dumps({key: rows}))
 
 
 if __name__ == "__main__":

@@ -5,6 +5,12 @@ One jax.custom_vjp replaces the reference's entire kernel sandwich
 -> Python scatter loop; reference utils/models.py:61-149,
 kernels/spmm_maxk.cu, kernels/spmm_maxk_backward.cu):
 
+Single-chip (mask path — the production route, see _mask_path):
+forward:  y_s, mask = MaxK(x, k)            # Pallas threshold kernel on TPU
+          y         = A @ y_s               # tiled MXU SpMM (ops.spmm)
+backward: dx        = mask * (A^T @ dy)     # one transpose SpMM + multiply
+
+Distributed / CBSR-consuming (halo wire format, API-parity entry points):
 forward:  (v, s) = cbsr_topk(x, k)          # exact fp32 TopK -> CBSR
           y      = A @ expand(v, s)         # tiled MXU SpMM (ops.spmm)
 backward: dS     = A^T @ dy                 # transpose-side tiled SpMM
@@ -12,6 +18,12 @@ backward: dS     = A^T @ dy                 # transpose-side tiled SpMM
                                             # the reference SSpMM's (V, k)
                                             # output layout, race-free
           dx     = expand(g_cbsr, s)        # == topk_mask * (A^T @ dy)
+
+The two backwards are the same function: expand(gather(dS, s), s) ==
+mask * dS because top-k selectors are exactly the mask's support. The
+mask path skips the CBSR pack/expand round trip (k compare-select
+passes over (V, D) each way) — measured 282.7 -> 211.7 ms (1.34x) on
+the SAGE 4x256 training step at V=131k, E=6.5M, k=32 on v5e.
 
 Design notes (TPU-first, not a port):
 - The reference expands CBSR per *edge* inside the forward kernel
@@ -472,24 +484,60 @@ def _resolve_cd(compute_dtype_name: Optional[str], backward: bool = False):
     return jnp.dtype(compute_dtype_name)
 
 
+def _mask_path(g, compute_dtype_name: Optional[str]) -> bool:
+    """True when the fused op can run mask-based, skipping CBSR entirely.
+
+    Algebraic identities on the single-chip path:
+      forward:  expand(cbsr_topk(x, k)) == x * topk_mask(x, k) == MaxK(x)
+      backward: expand(gather(dS, s), s) == topk_mask * dS,  dS = A^T @ dy
+    so the CBSR pack -> expand round trip (k compare-select passes over
+    (V, D) each way, plus the top-k itself) collapses to the MaxK
+    nonlinearity (the Pallas threshold kernel on TPU, ops.pallas_topk —
+    1.9 ms vs 6.5 ms top_k + 2 ms expand at V=131k, D=256, k=32 on v5e)
+    and one (V, D) multiply in the backward. CBSR stays load-bearing
+    where it is the wire format (halo exchange, gather_axis all-gather)
+    and in the CBSR-consuming opt-in formulations.
+    """
+    import os
+    if os.environ.get("MAXK_FUSED_MASK") == "0":   # A/B + triage opt-out
+        return False
+    return (getattr(g, "local_parts", None) is None
+            and getattr(g, "halo", None) is None
+            and getattr(g, "gather_axis", None) is None
+            and compute_dtype_name != "int8_rowscale"
+            and not CBSR_GATHER_MODE)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _fused(k: int, compute_dtype_name: Optional[str],
            g: TiledGraph, g_t: TiledGraph, x: jax.Array) -> jax.Array:
+    if _mask_path(g, compute_dtype_name):
+        from maxk_tpu.ops.maxk import _forward as _maxk_forward
+        y_s, _ = _maxk_forward(x, k)
+        return spmm(g, y_s, compute_dtype=_resolve_cd(compute_dtype_name))
     v, s = cbsr_topk(x, k)
     return spgemm_forward_cbsr(g, v, s, x.shape[1],
                                _resolve_cd(compute_dtype_name))
 
 
 def _fused_fwd(k, compute_dtype_name, g, g_t, x):
+    if _mask_path(g, compute_dtype_name):
+        from maxk_tpu.ops.maxk import _forward as _maxk_forward
+        y_s, mask = _maxk_forward(x, k)
+        y = spmm(g, y_s, compute_dtype=_resolve_cd(compute_dtype_name))
+        return y, (mask, None, g_t, x.shape[1])
     v, s = cbsr_topk(x, k)
     y = spgemm_forward_cbsr(g, v, s, x.shape[1],
                             _resolve_cd(compute_dtype_name))
-    return y, (s, g_t, x.shape[1])
+    return y, (None, s, g_t, x.shape[1])
 
 
 def _fused_bwd(k, compute_dtype_name, res, dy):
     cd = _resolve_cd(compute_dtype_name, backward=True)
-    s, g_t, dim = res
+    mask, s, g_t, dim = res
+    if mask is not None:
+        ds = spmm(g_t, dy, compute_dtype=cd)
+        return (None, None, ds * mask.astype(ds.dtype))
     g_cbsr = sspmm_sampled(g_t, dy, s, cd)
     dx = cbsr_expand(g_cbsr, s, dim)
     return (None, None, dx)  # no cotangents for the graph pytrees

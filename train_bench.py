@@ -96,21 +96,20 @@ def main():
     state = tr.init_state()
     rng = jax.random.PRNGKey(0)
 
-    # Warmup (compile) then timed steps, synchronized via metric fetch.
-    state, loss = tr._jit_step(state, rng)
+    # Chained-dispatch differencing protocol (maxk_tpu.bench.timing):
+    # wall-clocking a dispatch loop measures the remote tunnel's per-call
+    # overhead (~130 ms/step through axon), not the device. time_fn
+    # subtracts it, matching how every kernel number is measured.
+    from maxk_tpu.bench.timing import time_fn
+    state, loss = tr._jit_step(state, rng)      # compile
     np.asarray(loss)
-    t0 = time.perf_counter()
-    for i in range(args.epochs):
-        rng, sr = jax.random.split(rng)
-        state, loss = tr._jit_step(state, sr)
-    np.asarray(loss)
-    step_ms = (time.perf_counter() - t0) / args.epochs * 1e3
+    t = time_fn(lambda: tr._jit_step(state, rng)[1],
+                warmup=2, runs=max(2, args.epochs))
+    step_ms = t.mean_ms
 
     np.asarray(tr._jit_logits(state))  # compile eval
-    t0 = time.perf_counter()
-    logits = tr._jit_logits(state)
-    np.asarray(logits[:1])
-    eval_ms = (time.perf_counter() - t0) * 1e3
+    t = time_fn(lambda: tr._jit_logits(state), warmup=2, runs=4)
+    eval_ms = t.mean_ms
 
     out = dict(metric="train_step_ms", graph=name,
                n_nodes=ds.csr.n_nodes, n_edges=ds.csr.n_edges,

@@ -18,6 +18,15 @@ import json
 import sys
 
 
+def _resume_names(path) -> frozenset:
+    """Graph names already measured in a --resume-json record."""
+    import os.path
+    if not path or not os.path.exists(path):
+        return frozenset()
+    with open(path) as f:
+        return frozenset(r["graph"] for r in json.load(f).get("results", []))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("graph", nargs="?", default=None,
@@ -36,6 +45,10 @@ def main():
                          "(harness.SUITE24_SPECS) instead of the default "
                          "synthetic suite — hours of TPU time")
     ap.add_argument("--json", default=None, help="write results JSON here")
+    ap.add_argument("--resume-json", default=None,
+                    help="load finished graphs from this results JSON and "
+                         "skip them (continue an interrupted suite run); "
+                         "typically the same path as --json")
     args = ap.parse_args()
 
     import os
@@ -66,7 +79,7 @@ def main():
             graphs = [(stem, g)]
     elif args.suite24:
         from maxk_tpu.bench.harness import suite24
-        graphs = suite24()
+        graphs = suite24(skip=_resume_names(args.resume_json))
     else:
         names = available_graphs(args.graphs)
         if names:
@@ -76,9 +89,23 @@ def main():
                   f"using synthetic suite", file=sys.stderr)
             graphs = synthetic_suite(large=args.large)
 
-    print("num graph dim_origin dim_k kernel time(ms)")
     results = []
+    done = set()
+    if args.resume_json:
+        import os.path
+        if os.path.exists(args.resume_json):
+            from maxk_tpu.bench.harness import GraphBenchResult
+            with open(args.resume_json) as f:
+                prior = json.load(f).get("results", [])
+            results = [GraphBenchResult.from_json(r) for r in prior]
+            done = {r.graph for r in results}
+            print(f"# resume: {len(done)} graphs already measured "
+                  f"({', '.join(sorted(done))})", file=sys.stderr)
+
+    print("num graph dim_origin dim_k kernel time(ms)")
     for name, csr in graphs:
+        if name in done:
+            continue
         print(f"# {name}: V={csr.n_nodes} E={csr.n_edges} "
               f"avg_deg={csr.avg_degree:.1f}", file=sys.stderr)
         results.append(benchmark_graph(

@@ -72,6 +72,17 @@ class GraphBenchResult:
         d["speedups"] = {k: self.speedup(k) for k in self.forward_ms}
         return d
 
+    @classmethod
+    def from_json(cls, d: dict) -> "GraphBenchResult":
+        """Rebuild a result from an as_json record (JSON stringifies the
+        int k keys of the per-k dicts); used by kernel_bench --resume-json
+        to continue a multi-hour suite past already-measured graphs."""
+        fields = {f.name for f in dataclasses.fields(cls)}
+        d = {k: v for k, v in d.items() if k in fields}
+        for name in ("topk_ms", "forward_ms", "backward_ms"):
+            d[name] = {int(k): v for k, v in (d.get(name) or {}).items()}
+        return cls(**d)
+
 
 def _validate(g, g_t, g_seg, g_seg_t, x, k, dim) -> dict:
     """Forward/backward numerical validation against oracles.
@@ -316,13 +327,16 @@ SUITE24_SPECS = (
 )
 
 
-def suite24(seed: int = 123):
+def suite24(seed: int = 123, skip=()):
     """The 24-graph shape-stand-in suite (see SUITE24_SPECS), smallest
     first so partial runs cover the cheap graphs before the multi-minute
     parted giants. Lazily generated (one multi-million-node graph in host
-    memory at a time)."""
+    memory at a time); names in `skip` are not generated at all
+    (kernel_bench --resume-json)."""
     from maxk_tpu.data.loaders import synthetic_graph
     for n, v, d in SUITE24_SPECS:
+        if n in skip:
+            continue
         yield n, synthetic_graph(v, d, seed=seed)
 
 

@@ -5,6 +5,7 @@ from maxk_tpu.ops.maxk import maxk
 from maxk_tpu.ops.cbsr import cbsr_topk, cbsr_expand
 from maxk_tpu.ops.spgemm import maxk_spgemm
 from maxk_tpu.ops.pallas_spmm import spmm_pallas
+from maxk_tpu.ops.pallas_topk import maxk_pallas, cbsr_topk_pallas
 
 __all__ = [
     "CSRGraph",
@@ -19,4 +20,6 @@ __all__ = [
     "cbsr_expand",
     "maxk_spgemm",
     "spmm_pallas",
+    "maxk_pallas",
+    "cbsr_topk_pallas",
 ]

@@ -89,3 +89,86 @@ def audit_spmm(n_nodes: int, n_edges: int, dim: int, time_ms: float,
         gather_ms=gather_s * 1e3, stream_ms=stream_s * 1e3,
         mxu_ms=mxu_s * 1e3, bound=bound,
         achieved_gnnz_s=n_edges / (time_ms * 1e-3) / 1e9)
+
+
+def sharded_gather_slots(st) -> int:
+    """Padded gather slots per shard of a ShardedTiles /
+    ShardedPartedTiles — the measured cost driver of the tiled SpMM
+    (slots x lanes at the in-kernel per-slot rate)."""
+    if getattr(st, "parts_local", None) is not None:
+        arrs = list(st.parts_local) + list(st.parts_halo)
+        return sum(int(a[0].shape[1] * a[0].shape[2]) for a in arrs)
+    return int(st.cols.shape[1] * st.cols.shape[2])
+
+
+# Public per-chip aggregate ICI bandwidth, GB/s. Google's v5e spec sheet
+# lists 1,600 Gbps of interchip interconnect per chip (4 links, 2D torus)
+# = 200 GB/s aggregate. Override for other generations / DCN.
+V5E_ICI_GBPS = 200.0
+
+# Measured in-kernel cost of one padded gather slot at 128 int32 lanes
+# (D=256 bf16-packed): ~2.8 ns on v5e (BASELINE.md machine model). The
+# projection scales it linearly in gathered lanes (element-bound regime).
+NS_PER_SLOT_D256 = 2.8
+
+
+def project_multichip(n_shards: int, slots_per_shard: int,
+                      slots_single: int, halo_rows: int, dim: int, k: int,
+                      n_aggregations: int,
+                      ici_gbps: float = V5E_ICI_GBPS,
+                      ns_per_slot_d256: float = NS_PER_SLOT_D256) -> dict:
+    """First-order multi-chip scaling projection for row-partitioned
+    training (the BASELINE.md north-star metric this environment cannot
+    measure: only one physical chip is reachable).
+
+    Grounded in measured quantities only: per-slot aggregation cost from
+    the single-chip machine model, and the actual planned halo payload of
+    the shard build (parallel.halo send lists — edge-cut-proportional,
+    not V-proportional). Everything else is the public ICI spec.
+
+    Model, per aggregation (one tiled SpMM; a training step runs
+    ``n_aggregations`` of them = 2 per layer, forward + transpose):
+      compute_ms = slots_per_shard * lanes(dim) * ns_per_slot
+      comm_ms    = per-chip all_to_all payload / ici_gbps
+        dense wire: (S-1) * halo_rows rows of dim * 2 bytes (bf16 pairs)
+        CBSR wire:  (S-1) * halo_rows rows of 3k bytes (bf16 vals +
+                    int8 selectors — ops.spgemm._cbsr_wire_exchange)
+    Reported as two bounds: serial (compute + comm) and overlap
+    (max(compute, comm) — the local-first tile order makes the local
+    scan data-independent of the exchange, so XLA may overlap them).
+
+    Returns a dict of projected per-step ms and speedup/efficiency
+    bounds vs the single-chip projection of the same model.
+    """
+    lanes = -(-dim // 2)                       # bf16-pair packed lanes
+    ns_per_slot = ns_per_slot_d256 * lanes / 128.0
+    comp_ms = slots_per_shard * ns_per_slot * 1e-6
+    comp1_ms = slots_single * ns_per_slot * 1e-6
+
+    peer_rows = (n_shards - 1) * halo_rows
+    comm_dense_ms = peer_rows * dim * 2 / (ici_gbps * 1e9) * 1e3
+    comm_cbsr_ms = peer_rows * 3 * k / (ici_gbps * 1e9) * 1e3
+
+    def step(comm_ms):
+        serial = n_aggregations * (comp_ms + comm_ms)
+        overlap = n_aggregations * max(comp_ms, comm_ms)
+        t1 = n_aggregations * comp1_ms
+        return dict(
+            step_serial_ms=round(serial, 4),
+            step_overlap_ms=round(overlap, 4),
+            speedup_serial=round(t1 / serial, 3) if serial else float("inf"),
+            speedup_overlap=round(t1 / overlap, 3) if overlap else
+            float("inf"),
+            efficiency_serial=round(t1 / serial / n_shards, 3) if serial
+            else 1.0,
+            efficiency_overlap=round(t1 / overlap / n_shards, 3) if overlap
+            else 1.0)
+
+    return dict(
+        n_shards=n_shards,
+        compute_ms_per_agg=round(comp_ms, 4),
+        comm_dense_ms_per_agg=round(comm_dense_ms, 4),
+        comm_cbsr_ms_per_agg=round(comm_cbsr_ms, 4),
+        wire_reduction=round(comm_dense_ms / comm_cbsr_ms, 2)
+        if comm_cbsr_ms else float("inf"),
+        dense=step(comm_dense_ms), cbsr=step(comm_cbsr_ms))

@@ -45,6 +45,14 @@ def main():
     ap.add_argument("--model", default="sage_fused",
                     help="sage_fused exercises the CBSR halo path")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--project", action="store_true",
+                    help="emit the first-order ICI scaling projection per "
+                         "mesh size (bench.roofline.project_multichip): "
+                         "measured per-slot cost + planned halo payload + "
+                         "public v5e ICI bandwidth")
+    ap.add_argument("--ici-gbps", type=float, default=None,
+                    help="override the per-chip aggregate ICI GB/s "
+                         "(default: v5e spec, 200)")
     args = ap.parse_args()
 
     if args.force_cpu:
@@ -104,8 +112,11 @@ def main():
     graphs_single = GraphBundle.from_csr(ds.csr)
     feats_single = jnp.asarray(ds.features)
 
+    from maxk_tpu.bench.roofline import sharded_gather_slots as _gather_slots
+
     rows = []
     base_ms = None
+    slots_single = None
     for n in sizes:
         cfg = Cfg(model=args.model, hidden_dim=args.hidden,
                   hidden_layers=args.layers, maxk=args.maxk, n_devices=n)
@@ -115,6 +126,19 @@ def main():
         # full-node-space all-gather. halo_rows tracks the edge cut (max
         # remote rows any pair needs), NOT V — the scaling payoff.
         st = tr.sharded._any
+        slots = _gather_slots(st)
+        slots_single = slots_single or slots * n   # exact when sweep has n=1
+        if args.project:
+            from maxk_tpu.bench.roofline import (project_multichip,
+                                                 V5E_ICI_GBPS)
+            proj = project_multichip(
+                n_shards=n, slots_per_shard=slots,
+                slots_single=slots_single,
+                halo_rows=st.halo_rows if st.send_idx is not None else 0,
+                dim=args.hidden, k=args.maxk,
+                n_aggregations=2 * args.layers,
+                ici_gbps=args.ici_gbps or V5E_ICI_GBPS)
+            print(json.dumps(dict(projection=proj)))
         if st.send_idx is not None:
             halo_dense = n * n * st.halo_rows * args.hidden * 4
             halo_cbsr = n * n * st.halo_rows * 3 * args.maxk

@@ -81,6 +81,36 @@ def test_roofline_model():
     assert "ms" in r.summary()
 
 
+def test_project_multichip():
+    from maxk_tpu.bench.roofline import project_multichip
+    # reddit-like shard: 8 shards, 16M slots each, 20k-row halo, D=256 k=32
+    p = project_multichip(n_shards=8, slots_per_shard=16_000_000,
+                          slots_single=128_000_000, halo_rows=20_000,
+                          dim=256, k=32, n_aggregations=8)
+    # CBSR wire is (dim*2)/(3k) = 5.33x smaller than the dense wire.
+    assert p["wire_reduction"] == pytest.approx(256 * 2 / (3 * 32),
+                                                abs=0.01)
+    assert p["comm_cbsr_ms_per_agg"] < p["comm_dense_ms_per_agg"]
+    for wire in ("dense", "cbsr"):
+        s = p[wire]
+        assert s["step_overlap_ms"] <= s["step_serial_ms"]
+        assert 0 < s["efficiency_serial"] <= s["efficiency_overlap"] <= 1.0
+    # CBSR's smaller wire must project at least as efficient as dense.
+    assert (p["cbsr"]["efficiency_serial"]
+            >= p["dense"]["efficiency_serial"])
+    # More halo -> lower projected efficiency.
+    worse = project_multichip(n_shards=8, slots_per_shard=16_000_000,
+                              slots_single=128_000_000, halo_rows=200_000,
+                              dim=256, k=32, n_aggregations=8)
+    assert (worse["dense"]["efficiency_serial"]
+            < p["dense"]["efficiency_serial"])
+    # Zero halo (fully local) -> perfect scaling of the model.
+    local = project_multichip(n_shards=8, slots_per_shard=16_000_000,
+                              slots_single=128_000_000, halo_rows=0,
+                              dim=256, k=32, n_aggregations=8)
+    assert local["dense"]["efficiency_serial"] == pytest.approx(1.0)
+
+
 def test_synthetic_suite_shapes():
     suite = harness.synthetic_suite()
     assert len(suite) >= 5

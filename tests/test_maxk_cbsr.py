@@ -168,6 +168,34 @@ def test_maxk_spgemm_gradient_matches_dense_autodiff(small_graph, k):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("k", [4, 16])
+def test_fused_mask_and_cbsr_paths_agree(small_graph, k, monkeypatch):
+    """The production mask route and the CBSR route of maxk_spgemm are
+    algebraically identical (expand(cbsr_topk(x)) == MaxK(x);
+    expand(gather(dS, s), s) == mask * dS) — A/B them exactly in f32,
+    forward and gradient (MAXK_FUSED_MASK=0 is the triage opt-out)."""
+    d = 32
+    x = jnp.asarray(_x(small_graph.n_nodes, d, seed=7))
+    g = build_tiled_graph(small_graph, row_block=16, edge_tile=64)
+    gt = build_tiled_graph(small_graph.transpose(), row_block=16,
+                           edge_tile=64)
+    w = jnp.asarray(_x(small_graph.n_nodes, d, seed=8))
+
+    def loss(x):
+        return jnp.sum(w * maxk_spgemm(g, gt, x, k,
+                                       compute_dtype=jnp.float32))
+
+    y_mask = maxk_spgemm(g, gt, x, k, compute_dtype=jnp.float32)
+    g_mask = jax.grad(loss)(x)
+    monkeypatch.setenv("MAXK_FUSED_MASK", "0")
+    y_cbsr = maxk_spgemm(g, gt, x, k, compute_dtype=jnp.float32)
+    g_cbsr = jax.grad(loss)(x)
+    np.testing.assert_allclose(np.asarray(y_mask), np.asarray(y_cbsr),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_mask), np.asarray(g_cbsr),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_sspmm_sampled_matches_dense(small_graph):
     """Standalone backward SSpMM (reference spmm_maxk_backward parity):
     g[i,l] = sum_j A[j,i] dy[j, sel[i,l]]."""

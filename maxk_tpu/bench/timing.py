@@ -41,6 +41,14 @@ def _sync(out):
     return out
 
 
+# Adaptive-chain targets: the differenced signal (chain x per-call time)
+# must dominate the ~ms jitter of the two tunnel round trips it is
+# measured against, or sub-ms kernels return noise (round-3 fix: cora's
+# 1.26 ms baseline vs a "0.03 ms" fused forward was pure jitter).
+_CHAIN_TARGET_MS = 24.0
+_CHAIN_MAX = 512
+
+
 def time_fn(fn: Callable, warmup: int = 4, runs: int = 4,
             chain: int = 8) -> TimingResult:
     """4+4 protocol by default (reference spmm_base.h timing_body).
@@ -50,6 +58,11 @@ def time_fn(fn: Callable, warmup: int = 4, runs: int = 4,
     differenced: time(1 dispatch + sync) vs time(1+chain dispatches +
     sync). Dispatches on one device serialize, so the difference divided
     by `chain` is the pure per-call device time.
+
+    `chain` is the floor: a pilot sample lengthens the chain for fast
+    kernels so the differenced signal reaches _CHAIN_TARGET_MS (a 0.1 ms
+    kernel is unmeasurable over an 8-chain against multi-ms round-trip
+    jitter, and came back as noise in the round-2 suite records).
     """
     def run_n(n):
         out = None
@@ -57,15 +70,20 @@ def time_fn(fn: Callable, warmup: int = 4, runs: int = 4,
             out = fn()
         _sync(out)
 
-    for _ in range(warmup):
-        run_n(1)
-    times = []
-    for _ in range(runs):
+    def sample(n):
         t0 = time.perf_counter()
         run_n(1)
         t1 = time.perf_counter()
-        run_n(1 + chain)
+        run_n(1 + n)
         t2 = time.perf_counter()
-        times.append(max(((t2 - t1) - (t1 - t0)) / chain, 1e-9) * 1e3)
+        return max(((t2 - t1) - (t1 - t0)) / n, 1e-9) * 1e3
+
+    for _ in range(warmup):
+        run_n(1)
+    pilot = sample(chain)
+    if pilot * chain < _CHAIN_TARGET_MS:
+        chain = min(_CHAIN_MAX,
+                    max(chain, int(_CHAIN_TARGET_MS / max(pilot, 0.05))))
+    times = [sample(chain) for _ in range(runs)]
     return TimingResult(mean_ms=sum(times) / len(times),
                         min_ms=min(times), max_ms=max(times), runs=runs)

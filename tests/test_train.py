@@ -267,6 +267,25 @@ def test_golden_gcn_accuracy(tmp_path):
     assert res.best_val > 0.78
 
 
+def test_golden_multilabel_accuracy(tmp_path):
+    """Third golden guard (BASELINE.md round-3 multilabel table): the
+    BCE-with-logits path on the hard multilabel recipe, SAGE maxk-32,
+    micro-F1 at logit>0 (the yelp metric). Golden best_val 0.911 at
+    epoch 135; the 30-epoch prefix of the same run reaches 0.5163
+    (measured)."""
+    from maxk_tpu.data.datasets import make_synthetic_multilabel_dataset
+    ds = make_synthetic_multilabel_dataset(
+        n_nodes=4096, avg_degree=16.0, n_clusters=12, n_targets=16,
+        in_size=64, seed=97, feature_noise=4.0, rewire_p=0.7,
+        train_frac=0.05, metric="micro_f1")
+    cfg = _Cfg(path=str(tmp_path), model="sage", hidden_dim=64,
+               hidden_layers=3, dropout=0.2, norm=True, nonlinear="maxk",
+               maxk=32, epochs=30, w_lr=0.01, eval_every=5, patience=0,
+               log_every=1000, compute_dtype="float32")
+    res = Trainer(cfg, ds).fit()
+    assert res.best_val > 0.45
+
+
 def test_lookahead_slow_weights_not_aliased():
     """Regression: the slow buffer must be a real copy of params —
     aliased leaves make any donating jit of (params, opt_state) fail

@@ -33,7 +33,7 @@ except ImportError:  # pragma: no cover
 
 from maxk_tpu.data.datasets import Dataset
 from maxk_tpu.models.models import build_model
-from maxk_tpu.parallel.mesh import make_graph_mesh, GRAPH_AXIS
+from maxk_tpu.parallel.mesh import make_graph_mesh, GRAPH_AXIS, MODEL_AXIS
 from maxk_tpu.parallel.partition import (
     ShardedGraphBundle, shard_bundle, shard_node_array, local_bundle)
 from maxk_tpu.train import metrics as metrics_lib
@@ -63,8 +63,15 @@ class DistTrainer(FitLoop):
         self.logger = logger
         self.writer = writer
         self.mesh = mesh if mesh is not None else \
-            make_graph_mesh(getattr(config, "n_devices", 0))
-        self.n_shards = self.mesh.devices.size
+            make_graph_mesh(getattr(config, "n_devices", 0),
+                            model_axis_size=getattr(
+                                config, "model_parallel", 1))
+        self.n_shards = self.mesh.shape[GRAPH_AXIS]
+        # Tensor parallelism over the feature dim (SURVEY §2.4: the
+        # feature-dimension partitioning the reference lacks): dense-layer
+        # kernels column-sharded over the Auto 'model' axis, activation
+        # collectives inserted by GSPMD.
+        self.model_parallel = self.mesh.shape.get(MODEL_AXIS, 1)
 
         from maxk_tpu.models.models import MODEL_NORMS
         self.sharded = shard_bundle(
@@ -106,9 +113,26 @@ class DistTrainer(FitLoop):
         self._row = row
 
         axis = GRAPH_AXIS
+        tp = self.model_parallel > 1
+
+        def constrain_tp(params):
+            """Column-shard every dense kernel over the Auto model axis.
+
+            Matmuls against a (din, dout/mp)-sharded kernel then produce
+            model-sharded activations; the all-gather back to full
+            channels (MaxK / aggregation need whole rows) is inserted by
+            GSPMD where sharding propagation stops. 1-D leaves
+            (bias/scale/BatchNorm stats) stay replicated."""
+            if not tp:
+                return params
+            return jax.tree.map(
+                lambda p: jax.lax.with_sharding_constraint(
+                    p, P(None, MODEL_AXIS)) if p.ndim == 2 else p,
+                params)
 
         def sharded_loss(params, batch_stats, graphs_sharded, x, labels,
                          mask, rng):
+            params = constrain_tp(params)
             graphs = local_bundle(graphs_sharded, axis)
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             variables = {"params": params}
@@ -138,6 +162,7 @@ class DistTrainer(FitLoop):
             return num / jnp.maximum(den, 1.0), new_bs
 
         def sharded_logits(params, batch_stats, graphs_sharded, x):
+            params = constrain_tp(params)
             graphs = local_bundle(graphs_sharded, axis)
             variables = {"params": params}
             if jax.tree_util.tree_leaves(batch_stats):
@@ -156,6 +181,7 @@ class DistTrainer(FitLoop):
                               gspec, P(GRAPH_AXIS), P(GRAPH_AXIS),
                               P(GRAPH_AXIS), P()),
                     out_specs=(P(), bspec_of(state.batch_stats)),
+                    axis_names=frozenset({GRAPH_AXIS}),
                     check_vma=False)
                 (loss, new_bs), grads = jax.value_and_grad(
                     lambda p: loss_fn(p, state.batch_stats, graphs_sharded,
@@ -177,6 +203,7 @@ class DistTrainer(FitLoop):
                               bspec_of(state.batch_stats),
                               gspec, P(GRAPH_AXIS)),
                     out_specs=P(GRAPH_AXIS),
+                    axis_names=frozenset({GRAPH_AXIS}),
                     check_vma=False)
                 return f(state.params, state.batch_stats, graphs_sharded, x)
             return jax.jit(logits_fn)

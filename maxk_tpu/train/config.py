@@ -72,6 +72,10 @@ class TrainConfig(argparse.ArgumentParser):
                           help="Devices in the graph mesh; >1 selects the "
                                "row-partitioned DistTrainer with halo "
                                "exchange, 0/1 = single-device trainer")
+        self.add_argument("--model_parallel", type=int, default=1,
+                          help="Tensor-parallel size over the feature dim "
+                               "(second mesh axis); n_devices must be "
+                               "divisible by it. 1 = graph-only mesh")
         self.add_argument("--no_halo", dest="halo", action="store_false",
                           default=True,
                           help="Disable the neighbor-selective halo "

@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--ici-gbps", type=float, default=None,
                     help="override the per-chip aggregate ICI GB/s "
                          "(default: v5e spec, 200)")
+    ap.add_argument("--model-parallel", type=int, default=1,
+                    help="tensor-parallel size (second mesh axis); every "
+                         "swept device count must be divisible by it")
     args = ap.parse_args()
 
     if args.force_cpu:
@@ -120,7 +123,7 @@ def main():
     for n in sizes:
         cfg = Cfg(model=args.model, hidden_dim=args.hidden,
                   hidden_layers=args.layers, maxk=args.maxk, n_devices=n)
-        mesh = make_graph_mesh(n)
+        mesh = make_graph_mesh(n, model_axis_size=args.model_parallel)
         tr = DistTrainer(cfg, ds, mesh=mesh)
         # Neighbor-selective halo: actual exchange payload vs the old
         # full-node-space all-gather. halo_rows tracks the edge cut (max

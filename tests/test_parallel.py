@@ -164,6 +164,46 @@ def test_dist_step_matches_single_device(mesh, model, tmp_path):
     np.testing.assert_allclose(logits8, logits1, rtol=5e-2, atol=2e-2)
 
 
+def test_dist_step_model_parallel_matches_single(tmp_path):
+    """2-D (graph=4, model=2) mesh: dense-layer kernels column-sharded
+    over the Auto model axis (tensor parallelism, collectives inserted by
+    GSPMD) while the graph axis stays manual with halo exchange. With
+    dropout=0 / float32 the loss sequence must match the single-device
+    trainer."""
+    from maxk_tpu.parallel.mesh import make_graph_mesh, MODEL_AXIS
+    mesh2 = make_graph_mesh(8, model_axis_size=2)
+    assert mesh2.shape[MODEL_AXIS] == 2
+
+    ds = make_synthetic_dataset(n_nodes=200, avg_degree=6.0, n_classes=4,
+                                in_size=12, seed=30)
+    cfg = _Cfg(model="sage", path=str(tmp_path))
+
+    tr1 = Trainer(cfg, ds)
+    st1 = tr1.init_state()
+    losses1 = []
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    for _ in range(3):
+        rng, k1 = jax.random.split(rng)
+        st1, l1 = tr1._jit_step(st1, k1)
+        losses1.append(float(l1))
+
+    tr_tp = DistTrainer(cfg, ds, mesh=mesh2, row_block=8, edge_tile=32)
+    assert tr_tp.n_shards == 4 and tr_tp.model_parallel == 2
+    st = tr_tp.init_state_concrete(tr1.graphs, tr1.features)
+    losses_tp = []
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    for _ in range(3):
+        rng, k1 = jax.random.split(rng)
+        st, l = tr_tp.train_step(st, k1)
+        losses_tp.append(float(l))
+
+    np.testing.assert_allclose(losses_tp, losses1, rtol=5e-3, atol=5e-4)
+
+    logits_tp = tr_tp.eval_logits(st)
+    logits1 = np.asarray(tr1._jit_logits(st1))
+    np.testing.assert_allclose(logits_tp, logits1, rtol=5e-2, atol=2e-2)
+
+
 def test_dist_fit_learns(mesh, tmp_path):
     ds = make_synthetic_dataset(n_nodes=240, avg_degree=8.0, n_classes=4,
                                 in_size=16, seed=31)

@@ -51,12 +51,15 @@ def main():
         f"E={dataset.csr.n_edges} F={dataset.in_size} "
         f"classes={dataset.num_classes} multilabel={dataset.multilabel}")
 
-    if getattr(config, "n_devices", 0) > 1:
-        # Row-partitioned multi-chip training over the graph mesh with
-        # neighbor-selective halo exchange (maxk_tpu.parallel).
+    if (getattr(config, "n_devices", 0) > 1
+            or getattr(config, "model_parallel", 1) > 1):
+        # Multi-chip training: row-partitioned graph mesh with
+        # neighbor-selective halo exchange, optionally crossed with a
+        # tensor-parallel model axis (maxk_tpu.parallel).
         from maxk_tpu.parallel.dist_train import DistTrainer
         trainer = DistTrainer(config, dataset, logger=logger, writer=writer)
-        logger.info(f"distributed trainer: {trainer.n_shards}-device mesh, "
+        logger.info(f"distributed trainer: {trainer.n_shards}-way graph x "
+                    f"{trainer.model_parallel}-way model mesh, "
                     f"halo exchange "
                     f"{'on' if trainer.sharded._any.send_idx is not None else 'off (no cross-shard edges)'}")
     else:

@@ -121,14 +121,24 @@ class DistTrainer(FitLoop):
             Matmuls against a (din, dout/mp)-sharded kernel then produce
             model-sharded activations; the all-gather back to full
             channels (MaxK / aggregation need whole rows) is inserted by
-            GSPMD where sharding propagation stops. 1-D leaves
+            GSPMD where sharding propagation stops. Selection is by leaf
+            NAME ('kernel' = flax Dense weights), not ndim, so a future
+            2-D non-kernel parameter (e.g. an embedding table) stays
+            replicated instead of being silently mis-sharded. 1-D leaves
             (bias/scale/BatchNorm stats) stay replicated."""
             if not tp:
                 return params
-            return jax.tree.map(
-                lambda p: jax.lax.with_sharding_constraint(
-                    p, P(None, MODEL_AXIS)) if p.ndim == 2 else p,
-                params)
+
+            def leaf(path, p):
+                is_kernel = path and getattr(path[-1], "key", None) == "kernel"
+                if not is_kernel:
+                    return p
+                assert p.ndim == 2, (
+                    f"TP expects flax Dense kernels to be 2-D, got "
+                    f"{p.shape} at {jax.tree_util.keystr(path)}")
+                return jax.lax.with_sharding_constraint(p, P(None, MODEL_AXIS))
+
+            return jax.tree_util.tree_map_with_path(leaf, params)
 
         def sharded_loss(params, batch_stats, graphs_sharded, x, labels,
                          mask, rng):

@@ -128,14 +128,17 @@ def main():
         # Neighbor-selective halo: actual exchange payload vs the old
         # full-node-space all-gather. halo_rows tracks the edge cut (max
         # remote rows any pair needs), NOT V — the scaling payoff.
+        # With --model-parallel M the graph axis has only n // M shards;
+        # all halo/projection math is per graph shard, not per device.
+        g = tr.n_shards
         st = tr.sharded._any
         slots = _gather_slots(st)
-        slots_single = slots_single or slots * n   # exact when sweep has n=1
+        slots_single = slots_single or slots * g   # exact when sweep has g=1
         if args.project:
             from maxk_tpu.bench.roofline import (project_multichip,
                                                  V5E_ICI_GBPS)
             proj = project_multichip(
-                n_shards=n, slots_per_shard=slots,
+                n_shards=g, slots_per_shard=slots,
                 slots_single=slots_single,
                 halo_rows=st.halo_rows if st.send_idx is not None else 0,
                 dim=args.hidden, k=args.maxk,
@@ -143,9 +146,9 @@ def main():
                 ici_gbps=args.ici_gbps or V5E_ICI_GBPS)
             print(json.dumps(dict(projection=proj)))
         if st.send_idx is not None:
-            halo_dense = n * n * st.halo_rows * args.hidden * 4
-            halo_cbsr = n * n * st.halo_rows * 3 * args.maxk
-            ag_dense = n * st.n_nodes_padded * args.hidden * 4
+            halo_dense = g * g * st.halo_rows * args.hidden * 4
+            halo_cbsr = g * g * st.halo_rows * 3 * args.maxk
+            ag_dense = g * st.n_nodes_padded * args.hidden * 4
             print(json.dumps(dict(
                 devices=n, halo_rows=st.halo_rows,
                 rows_per_shard=st.rows_per_shard,

@@ -3,6 +3,7 @@
 # 3 layers, hidden 256, dropout 0.5, lr 0.003, 500 epochs, norm;
 # selfloop except for sage).
 K=${1:-32}; SEED=${2:-97}; MODEL=${3:-sage}
+source "$(dirname "$0")/_require_npz.sh" ogbn-products
 EXTRA=""
 if [ "$MODEL" != "sage" ]; then EXTRA="--selfloop"; fi
 python train.py --dataset ogbn-products --model $MODEL --hidden_layers 3 \

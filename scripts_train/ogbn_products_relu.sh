@@ -3,6 +3,7 @@
 # scripts_train/ogbn_products_relu.sh: 3 layers, hidden 256, dropout 0.5,
 # lr 0.003, 500 epochs, norm; selfloop except for sage).
 SEED=${1:-97}; MODEL=${2:-sage}
+source "$(dirname "$0")/_require_npz.sh" ogbn-products
 EXTRA=""
 if [ "$MODEL" != "sage" ]; then EXTRA="--selfloop"; fi
 python train.py --dataset ogbn-products --model $MODEL --hidden_layers 3 \

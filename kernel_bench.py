@@ -18,13 +18,21 @@ import json
 import sys
 
 
-def _resume_names(path) -> frozenset:
-    """Graph names already measured in a --resume-json record."""
+def _resume_rows(path):
+    """Load a --resume-json record, keeping only rows measured under the
+    CURRENT timing protocol. Pre-protocol / stale-protocol rows are
+    dropped (re-measured): the round-3 record mixed jitter-era sub-ms
+    timings into reruns because resume skipped by name alone."""
     import os.path
+    from maxk_tpu.bench.harness import GraphBenchResult, PROTOCOL
     if not path or not os.path.exists(path):
-        return frozenset()
+        return [], []
     with open(path) as f:
-        return frozenset(r["graph"] for r in json.load(f).get("results", []))
+        prior = json.load(f).get("results", [])
+    rows = [GraphBenchResult.from_json(r) for r in prior]
+    keep = [r for r in rows if r.protocol == PROTOCOL]
+    stale = sorted(r.graph for r in rows if r.protocol != PROTOCOL)
+    return keep, stale
 
 
 def main():
@@ -79,7 +87,8 @@ def main():
             graphs = [(stem, g)]
     elif args.suite24:
         from maxk_tpu.bench.harness import suite24
-        graphs = suite24(skip=_resume_names(args.resume_json))
+        keep, _ = _resume_rows(args.resume_json)
+        graphs = suite24(skip=frozenset(r.graph for r in keep))
     else:
         names = available_graphs(args.graphs)
         if names:
@@ -92,15 +101,14 @@ def main():
     results = []
     done = set()
     if args.resume_json:
-        import os.path
-        if os.path.exists(args.resume_json):
-            from maxk_tpu.bench.harness import GraphBenchResult
-            with open(args.resume_json) as f:
-                prior = json.load(f).get("results", [])
-            results = [GraphBenchResult.from_json(r) for r in prior]
-            done = {r.graph for r in results}
+        results, stale = _resume_rows(args.resume_json)
+        done = {r.graph for r in results}
+        if done:
             print(f"# resume: {len(done)} graphs already measured "
                   f"({', '.join(sorted(done))})", file=sys.stderr)
+        if stale:
+            print(f"# resume: {len(stale)} stale-protocol rows dropped, "
+                  f"will re-measure: {', '.join(stale)}", file=sys.stderr)
 
     print("num graph dim_origin dim_k kernel time(ms)")
     for name, csr in graphs:
@@ -115,8 +123,10 @@ def main():
             # Rewrite after every graph: a multi-hour suite must not
             # lose finished results to a crash on a later graph (the
             # remote tunnel can drop mid-run).
+            from maxk_tpu.bench.harness import PROTOCOL
             with open(args.json, "w") as f:
-                json.dump(dict(results=[r.as_json() for r in results],
+                json.dump(dict(protocol=PROTOCOL,
+                               results=[r.as_json() for r in results],
                                partial=True), f, indent=2)
 
     summary = analyze_speedups(results)
@@ -127,8 +137,10 @@ def main():
         print(f"\nVALIDATION FAILURES: {failed}", file=sys.stderr)
 
     if args.json:
+        from maxk_tpu.bench.harness import PROTOCOL
         with open(args.json, "w") as f:
-            json.dump(dict(results=[r.as_json() for r in results],
+            json.dump(dict(protocol=PROTOCOL,
+                           results=[r.as_json() for r in results],
                            geomean_speedups=summary), f, indent=2)
         print(f"# wrote {args.json}", file=sys.stderr)
 

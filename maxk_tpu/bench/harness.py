@@ -42,10 +42,20 @@ from maxk_tpu.bench.timing import time_fn, TimingResult
 # Published A100 speedups vs cuSPARSE for avg-degree>50 graphs
 # (reference README.md:136 keys them k=8/16/32/64; the analysis script
 # re-keys the same numbers as k=16/32/64 — main_runner_direct.py:203).
+# The README attributes these to the backward SSpMM ("SSpMM speedup vs
+# cuSPARSE"); they are compared against BOTH columns in the analysis.
 PAPER_SPEEDUPS = {16: 6.93, 32: 5.39, 64: 2.55}
 
 DIM_ORIGIN = 256           # reference kernels/main.cu:52
 DEFAULT_KS = (16, 32, 64)  # reference kernels/main.cu:53-54,113-116
+
+# Measurement-protocol version, stamped into every result. Bump when the
+# timing discipline changes so --resume-json refuses to mix records:
+#   1 = rounds 1-2 (fixed 8-chain differencing; sub-ms kernels returned
+#       tunnel jitter — e.g. the round-2 "0.029 ms" cora forward)
+#   2 = round 3+ (adaptive chain, bench/timing.py _CHAIN_TARGET_MS) with
+#       round-4 per-part roofline accounting and backward baselines
+PROTOCOL = 2
 
 
 @dataclasses.dataclass
@@ -62,14 +72,27 @@ class GraphBenchResult:
     backward_ms: dict                  # k -> ms
     validation: Optional[dict]         # {passed, mean_err, max_err, k}
     roofline: Optional[dict] = None    # audit of the baseline SpMM
+    # Dense backward baseline: transpose SpMM at full dim (what training
+    # without MaxK pays for dX = A^T dY) — the denominator of the
+    # reference's headline SSpMM table (README.md:136).
+    backward_baseline_ms: Optional[float] = None
+    protocol: int = PROTOCOL
 
     def speedup(self, k: int) -> Optional[float]:
         f = self.forward_ms.get(k)
         return self.baseline_ms / f if f else None
 
+    def backward_speedup(self, k: int) -> Optional[float]:
+        b = self.backward_ms.get(k)
+        if not b or not self.backward_baseline_ms:
+            return None
+        return self.backward_baseline_ms / b
+
     def as_json(self) -> dict:
         d = dataclasses.asdict(self)
         d["speedups"] = {k: self.speedup(k) for k in self.forward_ms}
+        d["backward_speedups"] = {k: self.backward_speedup(k)
+                                  for k in self.backward_ms}
         return d
 
     @classmethod
@@ -79,6 +102,9 @@ class GraphBenchResult:
         to continue a multi-hour suite past already-measured graphs."""
         fields = {f.name for f in dataclasses.fields(cls)}
         d = {k: v for k, v in d.items() if k in fields}
+        # Records written before the protocol stamp existed are protocol-1
+        # (jitter-era timing) — never let them default to current.
+        d.setdefault("protocol", 1)
         for name in ("topk_ms", "forward_ms", "backward_ms"):
             d[name] = {int(k): v for k, v in (d.get(name) or {}).items()}
         return cls(**d)
@@ -149,16 +175,22 @@ def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
     base = time_fn(lambda: spmm(g, xj), warmup=10, runs=10)
     log(f"0 {name} {dim} {dim} baseline_spmm {base.mean_ms:.4f}")
 
-    from maxk_tpu.bench.roofline import audit_spmm
+    # Dense backward baseline: transpose SpMM at full dim — the cost a
+    # non-MaxK training step pays for dX = A^T dY (reference headline
+    # "SSpMM speedup vs cuSPARSE", README.md:136, is a backward number).
+    dy_base = jnp.asarray(rng.uniform(size=(csr.n_nodes, dim))
+                          .astype(np.float32))
+    bwd_base = time_fn(lambda: spmm(g_t, dy_base), warmup=4, runs=4)
+    log(f"0 {name} {dim} {dim} baseline_spmm_T {bwd_base.mean_ms:.4f}")
+
+    from maxk_tpu.bench.roofline import audit_spmm_layouts
     from maxk_tpu.ops.graph import PartedGraph
     if isinstance(g, PartedGraph):
-        g0 = g.parts[0]
-        audit = audit_spmm(csr.n_nodes, csr.n_edges, dim, base.mean_ms,
-                           g0.row_block, g0.edge_tile,
-                           sum(p.n_tiles for p in g.parts))
+        layouts = [(p.row_block, p.edge_tile, p.n_tiles) for p in g.parts]
     else:
-        audit = audit_spmm(csr.n_nodes, csr.n_edges, dim, base.mean_ms,
-                           g.row_block, g.edge_tile, g.n_tiles)
+        layouts = [(g.row_block, g.edge_tile, g.n_tiles)]
+    audit = audit_spmm_layouts(csr.n_nodes, csr.n_edges, dim, base.mean_ms,
+                               layouts)
     log(f"# roofline {name}: {audit.summary()}")
 
     gnna_ms = None
@@ -216,14 +248,19 @@ def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
         avg_degree=csr.avg_degree, dim=dim, baseline_ms=base.mean_ms,
         gnna_ms=gnna_ms, topk_ms=topk_ms, forward_ms=fwd_ms,
         backward_ms=bwd_ms, validation=validation,
-        roofline=dataclasses.asdict(audit))
+        roofline=dataclasses.asdict(audit),
+        backward_baseline_ms=bwd_base.mean_ms)
 
 
 def analyze_speedups(results: Sequence[GraphBenchResult],
                      min_degree: float = 50.0, log=print) -> dict:
-    """Geomean per-k speedup over the baseline for avg-degree>min_degree
-    graphs, vs the paper's published table
-    (reference main_runner_direct.py:138-213)."""
+    """Geomean per-k forward AND backward speedups over the dense
+    baselines for avg-degree>min_degree graphs, vs the paper's published
+    table (reference main_runner_direct.py:138-213; the published
+    numbers are the backward SSpMM's — README.md:136).
+
+    Returns {"forward": {k: geomean}, "backward": {k: geomean}} (the
+    forward dict doubles as the legacy flat mapping's content)."""
     high = [r for r in results if r.avg_degree > min_degree and r.forward_ms]
     log(f"\nSpeedup analysis: {len(high)}/{len(results)} graphs with "
         f"avg degree > {min_degree:g}")
@@ -231,29 +268,44 @@ def analyze_speedups(results: Sequence[GraphBenchResult],
         return {}
 
     ks = sorted({k for r in high for k in r.forward_ms})
-    header = "graph            | avg_deg | " + " | ".join(
-        f"k={k:<4d}" for k in ks)
+    header = ("graph            | avg_deg | " + " | ".join(
+        f"fwd k={k:<3d}" for k in ks) + " | " + " | ".join(
+        f"bwd k={k:<3d}" for k in ks))
     log(header)
     log("-" * len(header))
-    per_k = {k: [] for k in ks}
+    fwd_k = {k: [] for k in ks}
+    bwd_k = {k: [] for k in ks}
     for r in high:
         cells = []
         for k in ks:
             s = r.speedup(k)
-            cells.append(f"{s:6.2f}" if s else "   -  ")
+            cells.append(f"{s:8.2f}" if s else "    -   ")
             if s:
-                per_k[k].append(s)
+                fwd_k[k].append(s)
+        for k in ks:
+            b = r.backward_speedup(k)
+            cells.append(f"{b:8.2f}" if b else "    -   ")
+            if b:
+                bwd_k[k].append(b)
         log(f"{r.graph:<16s} | {r.avg_degree:7.1f} | " + " | ".join(cells))
 
-    summary = {}
+    def _geomean(xs):
+        return math.exp(sum(math.log(s) for s in xs) / len(xs))
+
+    summary = {"forward": {}, "backward": {}}
     log("-" * len(header))
     for k in ks:
-        if per_k[k]:
-            gm = math.exp(sum(math.log(s) for s in per_k[k]) / len(per_k[k]))
-            summary[k] = gm
-            paper = PAPER_SPEEDUPS.get(k)
-            extra = f"  (paper A100 vs cuSPARSE: {paper:.2f}x)" if paper else ""
-            log(f"geomean speedup k={k}: {gm:.2f}x{extra}")
+        paper = PAPER_SPEEDUPS.get(k)
+        extra = (f"  (paper A100 SSpMM vs cuSPARSE: {paper:.2f}x)"
+                 if paper else "")
+        if fwd_k[k]:
+            gm = _geomean(fwd_k[k])
+            summary["forward"][k] = gm
+            log(f"geomean forward speedup k={k}: {gm:.2f}x{extra}")
+        if bwd_k[k]:
+            gm = _geomean(bwd_k[k])
+            summary["backward"][k] = gm
+            log(f"geomean backward speedup k={k}: {gm:.2f}x{extra}")
     return summary
 
 

@@ -51,33 +51,46 @@ def audit_spmm(n_nodes: int, n_edges: int, dim: int, time_ms: float,
                row_block: int, edge_tile: int, n_tiles: int,
                value_bytes: int = 2, pack: int = 2,
                model: dict = V5E) -> RooflineReport:
-    """Roofline audit of one tiled-SpMM execution (ops.spmm).
+    """Roofline audit of one tiled-SpMM execution (ops.spmm), single
+    homogeneous tile layout. For PartedGraphs with heterogeneous per-part
+    (R, C) use audit_spmm_layouts — the round-3 suite records computed
+    parted audits with part 0's sizes and the total tile count, which
+    misstates slots by up to 4x on low-degree graphs."""
+    return audit_spmm_layouts(n_nodes, n_edges, dim, time_ms,
+                              [(row_block, edge_tile, n_tiles)],
+                              pack=pack, model=model)
+
+
+def audit_spmm_layouts(n_nodes: int, n_edges: int, dim: int, time_ms: float,
+                       layouts, pack: int = 2,
+                       model: dict = V5E) -> RooflineReport:
+    """Roofline audit summed over tile layouts.
 
     Args:
-      value_bytes: gathered element size after packing (int32 lanes = 4
-        bytes carrying ``pack`` logical values).
-      pack: logical values per gathered lane (2 for bf16 pairs, 4 for
-        int8 quads, 1 for unpacked).
+      layouts: [(row_block, edge_tile, n_tiles), ...] — one entry per
+        part of a PartedGraph (heterogeneous sizes), or a single entry.
+      pack: logical values per gathered int32 lane (2 for bf16 pairs,
+        4 for int8 quads, 1 for unpacked).
     """
-    slots = n_tiles * edge_tile                      # incl. padding
     lanes_per_row = -(-dim // pack)
-
-    # Random gather: element-count bound (v5e measurement; packing more
-    # logical values per 32-bit lane reduces gathered elements directly).
-    g_elems = slots * lanes_per_row
-    gather_s = g_elems / model["gather_elem_per_s"]
-
-    # Streaming: edge metadata in, packed x once, accumulator traffic.
-    stream_bytes = (
-        slots * (4 + 4 + 4)                          # cols/vals/lrow
-        + n_nodes * dim * (4 + 4 / pack)             # read x + write packed
-        + n_tiles * row_block * dim * 4 * 2          # out block read+write
-    )
+    gather_s = stream_s = mxu_s = 0.0
+    # The packed-x table is written once per spmm call (per part when
+    # parted, via the materialized slice — counted per layout below as
+    # the slice copy); the initial pack reads x once.
+    stream_bytes = n_nodes * dim * (4 + 4 / pack)
+    for row_block, edge_tile, n_tiles in layouts:
+        slots = n_tiles * edge_tile                  # incl. padding
+        # Random gather: element-count bound (v5e measurement; packing
+        # more logical values per lane reduces gathered elements).
+        gather_s += slots * lanes_per_row / model["gather_elem_per_s"]
+        stream_bytes += (
+            slots * (4 + 4 + 4)                      # cols/vals/lrow
+            + n_tiles * row_block * dim * 4 * 2      # out block rd+wr
+        )
+        # MXU: (R+1) x C x D MACs per tile.
+        macs = n_tiles * (row_block + 1) * edge_tile * dim
+        mxu_s += 2 * macs / (model["mxu_tflops"] * 1e12)
     stream_s = stream_bytes / (model["hbm_gbps"] * 1e9)
-
-    # MXU: (R+1) x C x D MACs per tile.
-    macs = n_tiles * (row_block + 1) * edge_tile * dim
-    mxu_s = 2 * macs / (model["mxu_tflops"] * 1e12)
 
     parts = {"gather": gather_s, "stream": stream_s, "mxu": mxu_s}
     bound = max(parts, key=parts.get)

@@ -64,8 +64,13 @@ def test_analyze_speedups(bench_result):
     res, _ = bench_result
     lines = []
     summary = harness.analyze_speedups([res], log=lines.append)
-    assert set(summary) == {8, 16}
-    assert any("geomean" in ln for ln in lines)
+    assert set(summary) == {"forward", "backward"}
+    assert set(summary["forward"]) == {8, 16}
+    # The backward column exists: backward_baseline_ms was measured.
+    assert set(summary["backward"]) == {8, 16}
+    assert res.backward_baseline_ms and res.backward_speedup(8)
+    assert any("geomean forward" in ln for ln in lines)
+    assert any("geomean backward" in ln for ln in lines)
     # Low-degree graphs are excluded.
     low = harness.analyze_speedups(
         [res], min_degree=res.avg_degree + 1, log=lines.append)
@@ -147,3 +152,29 @@ def test_gnna_padding_rows_sorted():
     # GNNA SAG is the unweighted neighbor sum.
     ref = spmm_dense_oracle(g.with_values(np.ones(g.n_edges, np.float32)), x)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_protocol_stamp_and_resume_invalidation(bench_result, tmp_path):
+    """--resume-json must drop rows from older timing protocols (the
+    round-3 suite kept jitter-era rows because resume skipped by name)."""
+    res, _ = bench_result
+    d_new = res.as_json()
+    assert d_new["protocol"] == harness.PROTOCOL
+    d_old = dict(d_new, graph="old_row")
+    del d_old["protocol"]                       # pre-stamp record
+    d_stale = dict(d_new, graph="stale_row", protocol=1)
+
+    # from_json: missing protocol is protocol-1, never current.
+    assert harness.GraphBenchResult.from_json(d_old).protocol == 1
+
+    import importlib.util
+    from pathlib import Path
+    spec = importlib.util.spec_from_file_location(
+        "kernel_bench", Path(harness.__file__).parents[2] / "kernel_bench.py")
+    kb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(kb)
+    p = tmp_path / "suite.json"
+    p.write_text(json.dumps(dict(results=[d_new, d_old, d_stale])))
+    keep, stale = kb._resume_rows(str(p))
+    assert [r.graph for r in keep] == ["tiny"]
+    assert stale == ["old_row", "stale_row"]

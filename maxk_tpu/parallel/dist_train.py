@@ -46,6 +46,38 @@ def _spec_like(tree, spec):
     return jax.tree.map(lambda _: spec, tree)
 
 
+def put_global(tree, sharding):
+    """Place host data onto a (possibly multi-process) mesh sharding.
+
+    Single-process: plain device_put. Multi-process: every process holds
+    the full host value (graphs/features are loaded on every host) and
+    contributes only its addressable shards via make_array_from_callback
+    — device_put would reject shardings that span non-addressable
+    devices. `sharding` is a single Sharding (applied to every leaf) or
+    a matching tree of them.
+    """
+    single = isinstance(sharding, jax.sharding.Sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    sh_tree = (jax.tree.map(lambda _: sharding, tree) if single
+               else sharding)
+
+    def put(x, sh):
+        a = np.asarray(x)
+        return jax.make_array_from_callback(a.shape, sh,
+                                            lambda idx: a[idx])
+
+    return jax.tree.map(put, tree, sh_tree)
+
+
+def fetch_global(arr) -> np.ndarray:
+    """Host copy of a (possibly multi-process) row-sharded array."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
 class DistTrainer(FitLoop):
     """Row-partitioned full-graph trainer over a device mesh.
 
@@ -101,14 +133,12 @@ class DistTrainer(FitLoop):
         rep = NamedSharding(self.mesh, P())
 
         def put_rows(arr, fill=0):
-            return jax.device_put(
-                jnp.asarray(shard_node_array(arr, v_pad, fill=fill)), row)
+            return put_global(shard_node_array(arr, v_pad, fill=fill), row)
 
         self.features = put_rows(dataset.features)
         self.labels = put_rows(dataset.labels)
         self.train_mask = put_rows(dataset.train_mask, fill=False)
-        self.graph_arrays = jax.device_put(
-            self.sharded, jax.tree.map(lambda _: row, self.sharded))
+        self.graph_arrays = put_global(self.sharded, row)
         self._rep = rep
         self._row = row
 
@@ -234,14 +264,15 @@ class DistTrainer(FitLoop):
         variables = self.model.init({"params": rng, "dropout": rng},
                                     graphs_single, features_single,
                                     training=False)
-        params = jax.device_put(variables["params"], self._rep)
-        batch_stats = jax.device_put(
+        params = put_global(variables["params"], self._rep)
+        batch_stats = put_global(
             variables.get("batch_stats", FrozenDict()), self._rep)
         return TrainState(params=params, batch_stats=batch_stats,
-                          opt_state=jax.device_put(
+                          opt_state=put_global(
                               self.optimizer.init(variables["params"]),
                               self._rep),
-                          epoch=jnp.zeros((), jnp.int32))
+                          epoch=put_global(jnp.zeros((), jnp.int32),
+                                           self._rep))
 
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         """Concrete init on an unsharded single-device graph view (shapes
@@ -259,7 +290,7 @@ class DistTrainer(FitLoop):
         """Checkpoint-restored leaves come back committed to single
         devices; replicate them over the mesh so they are compatible
         with the shard_map step's replicated params/opt-state."""
-        return jax.device_put(state, self._rep)
+        return put_global(state, self._rep)
 
     def train_step(self, state: TrainState, rng):
         if self._jit_step_fn is None:
@@ -274,7 +305,7 @@ class DistTrainer(FitLoop):
         if self._jit_logits_fn is None:
             self._jit_logits_fn = self._make_logits()
         out = self._jit_logits_fn(state, self.graph_arrays, self.features)
-        return np.asarray(out)[: self.dataset.csr.n_nodes]
+        return fetch_global(out)[: self.dataset.csr.n_nodes]
 
     def evaluate_masks(self, state: TrainState):
         logits = self.eval_logits(state)

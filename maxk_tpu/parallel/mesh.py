@@ -15,6 +15,7 @@ axis resolved by the compiler — the hybrid manual/auto shard_map pattern.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -22,6 +23,47 @@ from jax.sharding import AxisType, Mesh
 
 GRAPH_AXIS = "graph"
 MODEL_AXIS = "model"
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None,
+                     local_device_count: Optional[int] = None) -> bool:
+    """Multi-host bootstrap: one call per process, before backend init.
+
+    The reference is single-process/single-GPU (SURVEY §2.4: no
+    torch.distributed anywhere); this is the N>=2-hosts half of the
+    north star. On a real TPU pod slice the three arguments can all be
+    None — `jax.distributed.initialize()` reads the TPU metadata — so
+    `train.py --distributed` alone suffices there. On CPU/GPU (and in
+    the multi-process tests) pass coordinator ("host:port"),
+    num_processes, and process_id explicitly.
+
+    local_device_count: force this many virtual CPU devices per process
+    (test/emulation mode) — must be set before the backend initializes.
+
+    Returns True when a multi-process runtime was initialized. After it,
+    jax.devices() is the GLOBAL device list and make_graph_mesh builds
+    pod-wide meshes; XLA routes collectives over ICI within a slice and
+    DCN/TCP across hosts — no hand-rolled transport (SURVEY §2.4).
+    """
+    if local_device_count is not None:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count="
+                f"{local_device_count}").strip()
+    if num_processes is not None and num_processes <= 1:
+        return False
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_count() > 1
 
 
 def make_graph_mesh(n_devices: Optional[int] = None,

@@ -38,9 +38,12 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any,
              extra: Optional[dict] = None) -> None:
+        # Multi-host: every process calls save (Orbax coordinates the
+        # collective write); the JSON sidecar is process-0-only so a
+        # shared filesystem never sees racing writers.
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
-        if extra is not None:
+        if extra is not None and jax.process_index() == 0:
             self._extra_path(step).write_text(json.dumps(extra))
 
     def latest_step(self) -> Optional[int]:

@@ -76,6 +76,24 @@ class TrainConfig(argparse.ArgumentParser):
                           help="Tensor-parallel size over the feature dim "
                                "(second mesh axis); n_devices must be "
                                "divisible by it. 1 = graph-only mesh")
+        # Multi-host (SURVEY §2.4 north star: N>=2 hosts). On a TPU pod
+        # slice --distributed alone suffices (jax.distributed.initialize
+        # autodetects); elsewhere pass the explicit coordinator triplet.
+        self.add_argument("--distributed", action="store_true",
+                          default=False,
+                          help="Call jax.distributed.initialize before "
+                               "backend init (multi-host training); "
+                               "implied by --num_processes > 1")
+        self.add_argument("--coordinator", type=str, default=None,
+                          help="host:port of process 0 (omit on TPU pods "
+                               "— autodetected from metadata)")
+        self.add_argument("--num_processes", type=int, default=None,
+                          help="total processes in the job")
+        self.add_argument("--process_id", type=int, default=None,
+                          help="this process's rank in [0, num_processes)")
+        self.add_argument("--local_device_count", type=int, default=None,
+                          help="force N virtual CPU devices per process "
+                               "(multi-process emulation/testing)")
         self.add_argument("--no_halo", dest="halo", action="store_false",
                           default=True,
                           help="Disable the neighbor-selective halo "

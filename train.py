@@ -29,15 +29,41 @@ def main():
     config = TrainConfig().parse_args()
     np.random.seed(config.seed)
 
-    logger = get_logger(os.path.join(config.path, f"{config.dataset}.log"))
-    writer = MetricsWriter(os.path.join(config.path, "tb"))
-    writer.add_text("config", TrainConfig.as_markdown(config))
-    TrainConfig.save_config(config)
-    for k, v in sorted(vars(config).items()):
-        logger.info(f"{k}={v}")
-
+    # Multi-host bootstrap BEFORE any backend initialization: after it,
+    # jax.devices() is the pod-global list and the mesh spans hosts.
     import jax
-    logger.info(f"backend={jax.default_backend()} devices={jax.devices()}")
+    if config.local_device_count:
+        # Virtual CPU devices (emulation/testing) — must precede backend
+        # init; also valid without a multi-process job.
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count="
+                f"{config.local_device_count}").strip()
+    if config.distributed or (config.num_processes or 0) > 1:
+        from maxk_tpu.parallel.mesh import init_distributed
+        init_distributed(coordinator=config.coordinator,
+                         num_processes=config.num_processes,
+                         process_id=config.process_id)
+    proc0 = jax.process_index() == 0
+
+    # Per-process side effects: every process computes, process 0 logs
+    # and checkpoints (replicated state makes its shards addressable
+    # everywhere, so one writer suffices and files never race).
+    logger = get_logger(
+        os.path.join(config.path, f"{config.dataset}.log")) if proc0 \
+        else get_logger(None)
+    writer = MetricsWriter(os.path.join(config.path, "tb")) if proc0 \
+        else MetricsWriter(None)
+    if proc0:
+        writer.add_text("config", TrainConfig.as_markdown(config))
+        TrainConfig.save_config(config)
+        for k, v in sorted(vars(config).items()):
+            logger.info(f"{k}={v}")
+    logger.info(f"backend={jax.default_backend()} "
+                f"process={jax.process_index()}/{jax.process_count()} "
+                f"devices={len(jax.devices())} "
+                f"local={len(jax.local_devices())}")
     if jax.default_backend() == "cpu" and config.compute_dtype == "bfloat16":
         logger.info("hint: bfloat16 matmuls are software-emulated on the "
                     "CPU backend (very slow; XLA's collective watchdog can "
@@ -52,7 +78,8 @@ def main():
         f"classes={dataset.num_classes} multilabel={dataset.multilabel}")
 
     if (getattr(config, "n_devices", 0) > 1
-            or getattr(config, "model_parallel", 1) > 1):
+            or getattr(config, "model_parallel", 1) > 1
+            or jax.process_count() > 1):
         # Multi-chip training: row-partitioned graph mesh with
         # neighbor-selective halo exchange, optionally crossed with a
         # tensor-parallel model axis (maxk_tpu.parallel).

@@ -185,12 +185,13 @@ def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
 
     from maxk_tpu.bench.roofline import audit_spmm_layouts
     from maxk_tpu.ops.graph import PartedGraph
-    if isinstance(g, PartedGraph):
+    parted = isinstance(g, PartedGraph)
+    if parted:
         layouts = [(p.row_block, p.edge_tile, p.n_tiles) for p in g.parts]
     else:
         layouts = [(g.row_block, g.edge_tile, g.n_tiles)]
     audit = audit_spmm_layouts(csr.n_nodes, csr.n_edges, dim, base.mean_ms,
-                               layouts)
+                               layouts, parted=parted)
     log(f"# roofline {name}: {audit.summary()}")
 
     gnna_ms = None
@@ -392,10 +393,18 @@ def suite24(seed: int = 123, skip=()):
         yield n, synthetic_graph(v, d, seed=seed)
 
 
-def synthetic_by_name(name: str, seed: int = 123):
-    """Generate ONE suite graph by name (targeted reruns) or None."""
-    from maxk_tpu.data.loaders import synthetic_graph
+def synthetic_by_name(name: str, seed: int = 123,
+                      generator: str = "power"):
+    """Generate ONE suite graph by name (targeted reruns) or None.
+
+    generator: 'power' = the seeded uniform power-law stand-in (default,
+    the recorded suite); 'rmat' = R-MAT at the same (V, degree) — a
+    structurally distinct topology (community structure + gather
+    locality) used to bound the stand-ins' topology-sensitivity
+    (data.loaders.rmat_graph)."""
+    from maxk_tpu.data.loaders import synthetic_graph, rmat_graph
+    gen = {"power": synthetic_graph, "rmat": rmat_graph}[generator]
     for n, v, d in SUITE_SPECS + LARGE_SPECS + SUITE24_SPECS:
         if n == name:
-            return synthetic_graph(v, d, seed=seed)
+            return gen(v, d, seed=seed)
     return None

@@ -24,7 +24,10 @@ import dataclasses
 
 
 # Measured device model (TPU v5e defaults; override per chip).
-V5E = dict(hbm_gbps=819.0, gather_elem_per_s=71e9, mxu_tflops=197.0)
+# gather_ns_parted / tile_fixed_ns: round-4 in-situ attribution
+# (tools/probe_attrib.py at s24_dd — see ops/tiling.py constants).
+V5E = dict(hbm_gbps=819.0, gather_elem_per_s=71e9, mxu_tflops=197.0,
+           gather_ns_parted=4.7, tile_fixed_ns=2200.0)
 
 
 @dataclasses.dataclass
@@ -36,15 +39,17 @@ class RooflineReport:
     gather_ms: float
     stream_ms: float
     mxu_ms: float
-    bound: str                   # 'gather' | 'stream' | 'mxu'
+    bound: str                   # 'gather' | 'stream' | 'mxu' | 'dispatch'
     achieved_gnnz_s: float
+    dispatch_ms: float = 0.0     # per-tile fixed DS/DUS cost (round 4)
 
     def summary(self) -> str:
         return (f"{self.time_ms:.2f} ms vs serial model "
                 f"{self.serial_ms:.2f} ms / overlap floor "
                 f"{self.floor_ms:.2f} ms ({100*self.efficiency:.0f}% of "
                 f"model, {self.bound}-bound: gather {self.gather_ms:.2f} / "
-                f"stream {self.stream_ms:.2f} / mxu {self.mxu_ms:.2f} ms)")
+                f"stream {self.stream_ms:.2f} / mxu {self.mxu_ms:.2f} / "
+                f"dispatch {self.dispatch_ms:.2f} ms)")
 
 
 def audit_spmm(n_nodes: int, n_edges: int, dim: int, time_ms: float,
@@ -62,7 +67,7 @@ def audit_spmm(n_nodes: int, n_edges: int, dim: int, time_ms: float,
 
 
 def audit_spmm_layouts(n_nodes: int, n_edges: int, dim: int, time_ms: float,
-                       layouts, pack: int = 2,
+                       layouts, pack: int = 2, parted: bool = False,
                        model: dict = V5E) -> RooflineReport:
     """Roofline audit summed over tile layouts.
 
@@ -71,18 +76,24 @@ def audit_spmm_layouts(n_nodes: int, n_edges: int, dim: int, time_ms: float,
         part of a PartedGraph (heterogeneous sizes), or a single entry.
       pack: logical values per gathered int32 lane (2 for bf16 pairs,
         4 for int8 quads, 1 for unpacked).
+      parted: column-parted execution — the gather runs at the measured
+        in-situ parted rate (~4.7 ns/slot, round-4 attribution) instead
+        of the fused element-bound model.
     """
     lanes_per_row = -(-dim // pack)
-    gather_s = stream_s = mxu_s = 0.0
+    gather_s = stream_s = mxu_s = dispatch_s = 0.0
     # The packed-x table is written once per spmm call (per part when
     # parted, via the materialized slice — counted per layout below as
     # the slice copy); the initial pack reads x once.
     stream_bytes = n_nodes * dim * (4 + 4 / pack)
     for row_block, edge_tile, n_tiles in layouts:
         slots = n_tiles * edge_tile                  # incl. padding
-        # Random gather: element-count bound (v5e measurement; packing
-        # more logical values per lane reduces gathered elements).
-        gather_s += slots * lanes_per_row / model["gather_elem_per_s"]
+        if parted:
+            gather_s += slots * model["gather_ns_parted"] * 1e-9
+        else:
+            # Random gather: element-count bound (v5e measurement;
+            # packing more values per lane reduces gathered elements).
+            gather_s += slots * lanes_per_row / model["gather_elem_per_s"]
         stream_bytes += (
             slots * (4 + 4 + 4)                      # cols/vals/lrow
             + n_tiles * row_block * dim * 4 * 2      # out block rd+wr
@@ -90,18 +101,24 @@ def audit_spmm_layouts(n_nodes: int, n_edges: int, dim: int, time_ms: float,
         # MXU: (R+1) x C x D MACs per tile.
         macs = n_tiles * (row_block + 1) * edge_tile * dim
         mxu_s += 2 * macs / (model["mxu_tflops"] * 1e12)
+        # Fixed per-tile DS/DUS accumulate cost (round-4 attribution:
+        # ~2.2 us/tile, tools/probe_attrib.py — the dominant term the
+        # round-3 model missed on small-tile layouts).
+        dispatch_s += n_tiles * model["tile_fixed_ns"] * 1e-9
     stream_s = stream_bytes / (model["hbm_gbps"] * 1e9)
 
-    parts = {"gather": gather_s, "stream": stream_s, "mxu": mxu_s}
+    parts = {"gather": gather_s, "stream": stream_s, "mxu": mxu_s,
+             "dispatch": dispatch_s}
     bound = max(parts, key=parts.get)
-    serial_s = gather_s + stream_s + mxu_s
+    serial_s = gather_s + stream_s + mxu_s + dispatch_s
     return RooflineReport(
         time_ms=time_ms, floor_ms=max(parts.values()) * 1e3,
         serial_ms=serial_s * 1e3,
         efficiency=min(1.0, (serial_s * 1e3) / max(time_ms, 1e-9)),
         gather_ms=gather_s * 1e3, stream_ms=stream_s * 1e3,
         mxu_ms=mxu_s * 1e3, bound=bound,
-        achieved_gnnz_s=n_edges / (time_ms * 1e-3) / 1e9)
+        achieved_gnnz_s=n_edges / (time_ms * 1e-3) / 1e9,
+        dispatch_ms=dispatch_s * 1e3)
 
 
 def sharded_gather_slots(st) -> int:

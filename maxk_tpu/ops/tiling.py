@@ -112,14 +112,23 @@ def choose_tile_sizes(n_nodes: int, n_edges: int,
 # Measured v5e per-slot cost constants (BASELINE.md machine model):
 # - gather+unpack of one 128-lane packed row, fused into the dot:
 #   ~2.7 ns/slot against fast tables (<= 131072 rows with XLA's in-kernel
-#   fusion at moderate+ fill), ~8.5 ns/slot in the parted low-fill regime
-#   where the take runs at the isolated 117 M rows/s descriptor rate;
+#   fusion at moderate+ fill), ~4.7 ns/slot in the parted low-fill
+#   regime (round-4 in-situ attribution, tools/probe_attrib.py: 21 ms of
+#   random-gather excess over 4.44M slots at s24_dd);
 # - one-hot MXU reduce: (R+1)*D MACs/slot at ~98.5 TMAC/s bf16;
-# - output tile read-modify-write: 2*R*D*4 bytes/tile at ~819 GB/s.
+# - output tile read-modify-write: 2*R*D*4 bytes/tile at ~819 GB/s;
+# - PLUS a fixed ~2.2 us per tile: the dynamic-slice/update-slice pair
+#   that accumulates each tile's partial into its output block costs
+#   ~2.2-2.4 us regardless of size (round-4 attribution: the no_rmw
+#   ablation removed 35.5 of 65.5 ms over 12640 tiles at s24_dd; the
+#   same-slot (R,C) ladder isolates ~2.2 us/tile). This term is what
+#   the round-3 chooser was missing — it priced 256-slot tiles as
+#   nearly free and picked layouts with 6x more tiles than optimal.
 _GATHER_NS_FAST = 2.7
-_GATHER_NS_PARTED = 8.5
+_GATHER_NS_PARTED = 4.7
 _MAC_NS = 256.0 / 98.5e3          # per (R+1), at dim 256
 _RMW_NS_PER_ROW = 2 * 256 * 4 / 819.0  # per tile row, at dim 256
+_TILE_FIXED_NS = 2200.0           # DS/DUS pair per tile (round-4 measured)
 
 
 def choose_tile_sizes_exact(indptr: np.ndarray,
@@ -135,11 +144,15 @@ def choose_tile_sizes_exact(indptr: np.ndarray,
     power-law degree skew makes mean-fill padding estimates off by 2x —
     and minimizes the measured serial cost model:
 
-        slots(R,C) * (gather_ns + (R+1)*mac) + tiles(R,C) * R * rmw
+        slots(R,C) * (gather_ns + (R+1)*mac)
+          + tiles(R,C) * (R * rmw + tile_fixed)
 
     Runs in O(V/R) per candidate on host. Used for low-fill column parts
     where padding dominates; the default sizing keeps the measured-optimal
-    heuristic for the moderate/high-fill regime.
+    heuristic for the moderate/high-fill regime. The tile_fixed term
+    (per-tile DS/DUS cost) pushes the optimum toward C ~ 1.3 * R * deg —
+    one tile per row block — instead of the round-3 tiny tiles
+    (s24_dd: (128, 256) -> (512, 2048), measured 65.2 -> ~35 ms).
     """
     indptr = np.asarray(indptr, dtype=np.int64)
     n = int(indptr.shape[0]) - 1
@@ -152,7 +165,7 @@ def choose_tile_sizes_exact(indptr: np.ndarray,
             if tiles == 0:
                 tiles = 1
             cost = tiles * c * (gather_ns + (r + 1) * _MAC_NS) \
-                + tiles * r * _RMW_NS_PER_ROW
+                + tiles * (r * _RMW_NS_PER_ROW + _TILE_FIXED_NS)
             if best is None or cost < best[0]:
                 best = (cost, r, c)
     return best[1], best[2]

@@ -47,9 +47,9 @@ def part_model(csr, row_block, edge_tile, col_part_rows=131072):
         e_p = len(ix)
         rb, et = row_block, edge_tile
         if rb is None or et is None:
-            rb, et = choose_tile_sizes(n, max(1, e_p))
-            if rb * (e_p / max(1, n)) < et / 2.0:
-                rb, et = choose_tile_sizes_exact(ip)
+            # Mirror ops.graph.build_tiled_graph round 4: exact chooser
+            # for every part.
+            rb, et = choose_tile_sizes_exact(ip)
         bounds = ip[np.minimum(np.arange(0, n + rb, rb), n)]
         tiles = int(np.sum(-(-np.diff(bounds) // et)))
         grp = gather_group(et)

@@ -57,6 +57,12 @@ def main():
                     help="load finished graphs from this results JSON and "
                          "skip them (continue an interrupted suite run); "
                          "typically the same path as --json")
+    ap.add_argument("--generator", default="power",
+                    choices=["power", "rmat"],
+                    help="synthetic suite-graph generator: 'rmat' re-runs "
+                         "the same (V, degree) shapes under R-MAT topology "
+                         "to bound the stand-ins' topology sensitivity; "
+                         "result names get an '@rmat' suffix")
     args = ap.parse_args()
 
     import os
@@ -79,11 +85,14 @@ def main():
             # Fall back to a synthetic-suite graph by name (e.g.
             # `kernel_bench.py syn_products_shape` for a targeted rerun).
             from maxk_tpu.bench.harness import synthetic_by_name
-            g = synthetic_by_name(stem)
+            stem = stem.removesuffix("@rmat")
+            g = synthetic_by_name(stem, generator=args.generator)
             if g is None:
                 print(f"# {stem}: no binary under {args.graphs} and no "
                       f"synthetic suite graph of that name", file=sys.stderr)
                 return 2
+            if args.generator != "power":
+                stem = f"{stem}@{args.generator}"
             graphs = [(stem, g)]
     elif args.suite24:
         from maxk_tpu.bench.harness import suite24

@@ -49,6 +49,47 @@ def available_graphs(base_dir: str | os.PathLike) -> list[str]:
                   for p in base.glob("*.indptr"))
 
 
+def rmat_graph(n_nodes: int, avg_degree: float, seed: int = 0,
+               a: float = 0.57, b: float = 0.19, c: float = 0.19,
+               symmetric: bool = True) -> CSRGraph:
+    """R-MAT graph (Chakrabarti et al.; Graph500 defaults a/b/c/d =
+    .57/.19/.19/.05).
+
+    Structurally distinct second generator for the suite stand-ins: the
+    recursive quadrant construction yields community structure and
+    src/dst-correlated locality that the uniform power-law generator
+    (synthetic_graph) lacks — exactly the properties the parted-path
+    gather locality depends on. Benchmarked against the power-law
+    stand-ins to bound the topology-sensitivity of every suite claim
+    (kernel_bench --generator rmat; VERDICT r3 Weak #6).
+    """
+    rng = np.random.default_rng(seed)
+    n_edges = int(n_nodes * avg_degree)
+    levels = max(1, int(np.ceil(np.log2(max(2, n_nodes)))))
+    d_q = 1.0 - a - b - c
+    src = np.zeros(n_edges, dtype=np.int64)
+    dst = np.zeros(n_edges, dtype=np.int64)
+    # One categorical quadrant draw per level, with +-10% per-edge mass
+    # noise (standard R-MAT smoothing against exact self-similarity).
+    # Quadrants: a = (src0,dst0), b = (src0,dst1), c = (src1,dst0),
+    # d = (src1,dst1).
+    for _ in range(levels):
+        jit = 1.0 + 0.1 * (rng.uniform(size=(4, n_edges)) - 0.5)
+        pa, pb, pc, pd = a * jit[0], b * jit[1], c * jit[2], d_q * jit[3]
+        u = rng.uniform(size=n_edges) * (pa + pb + pc + pd)
+        bottom = u >= pa + pb
+        right = np.where(bottom, u >= pa + pb + pc, u >= pa)
+        src = (src << 1) | bottom.astype(np.int64)
+        dst = (dst << 1) | right.astype(np.int64)
+    # Fold the 2^levels id space onto [0, n_nodes).
+    src %= n_nodes
+    dst %= n_nodes
+    if symmetric:
+        src, dst = (np.concatenate([src, dst]),
+                    np.concatenate([dst, src]))
+    return CSRGraph.from_coo(src, dst.astype(np.int32), n_nodes)
+
+
 def synthetic_graph(n_nodes: int, avg_degree: float, seed: int = 0,
                     power_law: bool = True, symmetric: bool = True,
                     self_loops: bool = False) -> CSRGraph:

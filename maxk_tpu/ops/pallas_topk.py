@@ -128,6 +128,36 @@ def _cbsr_kernel(x_ref, o_ref, *, k: int):
     o_ref[:] = jnp.concatenate([vals, sels], axis=1)
 
 
+def _cbsr_half_kernel(x_ref, o_ref, *, k: int, which: str):
+    """One compaction chain only (values OR selectors) per pallas_call.
+
+    The single-call _cbsr_kernel's two sequential k-loops blow up
+    tpu_compile_helper at k=64 (reference benches k in {16,32,64},
+    kernels/main.cu:53-54); splitting value and selector emission into
+    two pallas_calls halves each program's select-accumulate chain, at
+    the cost of recomputing the threshold mask (pure VPU, cheap next to
+    the compile ceiling). Same math as _cbsr_kernel otherwise.
+    """
+    x = x_ref[:]
+    rb, d = x.shape
+    mask = _exact_mask(x, k)
+    pos = _cumsum_lanes(mask.astype(jnp.int32))
+    pos = jnp.where(mask, pos, jnp.float32(0.0))
+    if which == "vals":
+        src = x
+    else:
+        src = jax.lax.broadcasted_iota(jnp.int32, (rb, d), 1) \
+            .astype(jnp.float32)
+    w = o_ref.shape[1]
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (rb, w), 1)
+    out = jnp.zeros((rb, w), jnp.float32)
+    for l in range(k):
+        hit = pos == jnp.float32(l + 1)
+        v_l = jnp.sum(jnp.where(hit, src, 0.0), axis=1, keepdims=True)
+        out = jnp.where(lane_k == l, v_l, out)
+    o_ref[:] = out
+
+
 def _pad_rows(x, rb: int):
     v = x.shape[0]
     vp = -(-v // rb) * rb
@@ -165,18 +195,33 @@ def cbsr_topk_pallas(x: jax.Array, k: int, interpret: bool = False):
     """TopK->CBSR block kernel: (values, selector), selector ascending.
 
     Same output contract as ops.cbsr.cbsr_topk. Requires f32 x with
-    D % 128 == 0 and 1 <= k <= D. Mosaic compiles the unrolled
-    compaction loops up to k=32 (k=64 blows up tpu_compile_helper even
-    de-interleaved; a fori_loop body compiles at any k but measures
-    slower than the XLA sort — tools/probe_pallas_topk.py). Production
-    cbsr_topk therefore dispatches to lax.approx_max_k instead; this
-    kernel is the measured first-index-exact alternative (3.21 ms at
-    k=8 vs 3.45 approx / 6.31 sort, V=131k D=256 on v5e).
+    D % 128 == 0 and 1 <= k <= D. Mosaic compiles the single-call
+    two-loop kernel up to k=32; k > 32 dispatches to TWO sequential
+    pallas_calls (values pass + selector pass, _cbsr_half_kernel) whose
+    halved select-accumulate chains keep tpu_compile_helper alive at
+    k=64 — the one benchmarked k the round-3 kernel family lacked
+    (reference kernels/main.cu:53-54). A fori_loop body compiles at any
+    k but measures slower than the XLA sort
+    (tools/probe_pallas_topk.py). Production cbsr_topk dispatches to
+    lax.approx_max_k; this kernel is the measured first-index-exact
+    alternative (3.21 ms at k=8 vs 3.45 approx / 6.31 sort, V=131k
+    D=256 on v5e).
     """
     xp, v = _pad_rows(x, _ROW_BLOCK)
     vp, d = xp.shape
-    w = -(-2 * k // 128) * 128       # lane-padded output width (>= 2k)
     grid = (vp // _ROW_BLOCK,)
+    if k > 32:
+        wk = -(-k // 128) * 128      # lane-padded per-output width
+        halves = [pl.pallas_call(
+            functools.partial(_cbsr_half_kernel, k=k, which=which),
+            grid=grid,
+            in_specs=[pl.BlockSpec((_ROW_BLOCK, d), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((_ROW_BLOCK, wk), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((vp, wk), jnp.float32),
+            interpret=interpret,
+        )(xp) for which in ("vals", "sels")]
+        return halves[0][:v, :k], halves[1][:v, :k].astype(jnp.int32)
+    w = -(-2 * k // 128) * 128       # lane-padded output width (>= 2k)
     out = pl.pallas_call(
         functools.partial(_cbsr_kernel, k=k),
         grid=grid,

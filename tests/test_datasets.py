@@ -96,3 +96,32 @@ def test_synthetic_dataset_learnable_signal():
                        for c in range(d.num_classes)])
     pred = np.argmax(d.features @ protos.T, axis=1)
     assert (pred == d.labels).mean() > 2.0 / d.num_classes
+
+
+def test_rmat_graph_structure():
+    """R-MAT generator: valid CSR, expected scale, heavier tail than the
+    uniform power-law generator at the same (V, degree)."""
+    from maxk_tpu.data.loaders import rmat_graph
+    v, deg = 4096, 8.0
+    g = rmat_graph(v, deg, seed=3)
+    assert g.n_nodes == v
+    assert g.n_edges == 2 * int(v * deg)        # symmetrized
+    assert g.indices.min() >= 0 and g.indices.max() < v
+    assert int(g.indptr[-1]) == g.n_edges
+    # Determinism.
+    g2 = rmat_graph(v, deg, seed=3)
+    np.testing.assert_array_equal(g.indices, g2.indices)
+    # Skew: R-MAT's recursive construction concentrates edges — its max
+    # degree should far exceed the mean (community/hub structure).
+    assert g.out_degrees.max() > 8 * g.avg_degree
+    # Different seeds differ.
+    g3 = rmat_graph(v, deg, seed=4)
+    assert not np.array_equal(g.indices, g3.indices)
+
+
+def test_rmat_suite_dispatch():
+    from maxk_tpu.bench.harness import synthetic_by_name
+    gp = synthetic_by_name("s24_cora", generator="power")
+    gr = synthetic_by_name("s24_cora", generator="rmat")
+    assert gp.n_nodes == gr.n_nodes == 2708
+    assert not np.array_equal(gp.indptr, gr.indptr)

@@ -145,11 +145,55 @@ def main():
         f"full fused op incl. topk {t_full.mean_ms:.2f} ms; "
         f"vs unfused {t_seg.mean_ms / t_fused.mean_ms:.1f}x")
 
+    # Training-step probe: the metric the paper actually sells (2-6x
+    # training speedup, reference build_maxk_gnn.sh:206-207) — one full
+    # SAGE fwd+bwd+Adam step on this graph, chained-differencing
+    # protocol, k = --k. Unit edge values + structural symmetry: the
+    # trainer re-normalizes per aggregation semantics anyway.
+    from maxk_tpu.data.datasets import Dataset
+    from maxk_tpu.train.loop import Trainer
+    v = csr.n_nodes
+    ds = Dataset(
+        name="bench", csr=csr.with_values(np.ones(csr.n_edges, np.float32)),
+        features=np.asarray(x), labels=rng.integers(0, 41, size=v),
+        train_mask=rng.uniform(size=v) < 0.66,
+        val_mask=rng.uniform(size=v) < 0.1,
+        test_mask=rng.uniform(size=v) < 0.2,
+        num_classes=41, multilabel=False, metric="micro_f1",
+        symmetric=True)
+
+    class _Cfg:
+        model = "sage"
+        hidden_dim = 256
+        hidden_layers = 4
+        maxk = args.k
+        dropout = 0.5
+        norm = True
+        nonlinear = "maxk"
+        w_lr = 0.01
+        w_weight_decay = 0.0
+        enable_lookahead = False
+        seed = 97
+        # CPU bf16 matmuls are software-emulated (~100x); smoke runs
+        # must use f32 there. TPU runs keep the production dtype.
+        compute_dtype = ("float32" if jax.default_backend() == "cpu"
+                         else "bfloat16")
+
+    tr = Trainer(_Cfg(), ds)
+    state = tr.init_state()
+    srng = jax.random.PRNGKey(0)
+    state, loss = tr._jit_step(state, srng)      # compile
+    np.asarray(loss)
+    t_step = time_fn(lambda: tr._jit_step(state, srng)[1],
+                     warmup=2, runs=3)
+    log(f"SAGE 4x256 k={args.k} train step: {t_step.mean_ms:.1f} ms")
+
     print(json.dumps({
         "metric": f"maxk_spgemm_fwd_nnz_per_s_k{args.k}_d{args.dim}",
         "value": round(t_fused.nnz_per_s(nnz) / 1e9, 4),
         "unit": "Gnnz/s",
         "vs_baseline": round(t_tiled.mean_ms / t_fused.mean_ms, 4),
+        "train_step_ms": round(t_step.mean_ms, 2),
     }))
 
 

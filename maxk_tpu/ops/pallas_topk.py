@@ -200,8 +200,12 @@ def cbsr_topk_pallas(x: jax.Array, k: int, interpret: bool = False):
     pallas_calls (values pass + selector pass, _cbsr_half_kernel) whose
     halved select-accumulate chains keep tpu_compile_helper alive at
     k=64 — the one benchmarked k the round-3 kernel family lacked
-    (reference kernels/main.cu:53-54). A fori_loop body compiles at any
-    k but measures slower than the XLA sort
+    (reference kernels/main.cu:53-54). Measured on v5e at V=131k D=256:
+    k=64 compiles, output bit-equal to cbsr_topk, 8.52 ms vs 4.04 XLA
+    (the XLA path stays the production dispatch at large k). k=96/128
+    (outside the reference's benchmarked set) still crash
+    tpu_compile_helper even split — recorded closed. A fori_loop body
+    compiles at any k but measures slower than the XLA sort
     (tools/probe_pallas_topk.py). Production cbsr_topk dispatches to
     lax.approx_max_k; this kernel is the measured first-index-exact
     alternative (3.21 ms at k=8 vs 3.45 approx / 6.31 sort, V=131k

@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--ks", type=int, nargs="+", default=[16, 32, 64])
     ap.add_argument("--no-validate", action="store_true")
     ap.add_argument("--no-gnna", action="store_true")
+    ap.add_argument("--coo", action="store_true",
+                    help="also time the COO SpMM baseline (the reference's "
+                         "cuSPARSE COO path; slow scatter-add comparator)")
     ap.add_argument("--large", action="store_true",
                     help="include reddit/products-scale synthetic shapes "
                          "(minutes of host tiling + GBs of transfer)")
@@ -127,7 +130,8 @@ def main():
               f"avg_deg={csr.avg_degree:.1f}", file=sys.stderr)
         results.append(benchmark_graph(
             csr, name, dim=args.dim, ks=tuple(args.ks),
-            validate=not args.no_validate, run_gnna=not args.no_gnna))
+            validate=not args.no_validate, run_gnna=not args.no_gnna,
+            run_coo=args.coo))
         if args.json:
             # Rewrite after every graph: a multi-hour suite must not
             # lose finished results to a crash on a later graph (the

@@ -76,6 +76,7 @@ class GraphBenchResult:
     # without MaxK pays for dX = A^T dY) — the denominator of the
     # reference's headline SSpMM table (README.md:136).
     backward_baseline_ms: Optional[float] = None
+    coo_ms: Optional[float] = None     # COO SpMM (cuSPARSE COO analog)
     protocol: int = PROTOCOL
 
     def speedup(self, k: int) -> Optional[float]:
@@ -152,7 +153,8 @@ def _validate(g, g_t, g_seg, g_seg_t, x, k, dim) -> dict:
 
 def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
                     ks: Sequence[int] = DEFAULT_KS, validate: bool = True,
-                    run_gnna: bool = True, seed: int = 123,
+                    run_gnna: bool = True, run_coo: bool = False,
+                    seed: int = 123,
                     log=print) -> GraphBenchResult:
     """Benchmark one graph, reference protocol (kernels/main.cu:50-185)."""
     import jax
@@ -193,6 +195,24 @@ def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
     audit = audit_spmm_layouts(csr.n_nodes, csr.n_edges, dim, base.mean_ms,
                                layouts, parted=parted)
     log(f"# roofline {name}: {audit.summary()}")
+
+    coo_ms = None
+    if run_coo:
+        # COO parity record (the reference harness times spmm_cusparse_coo,
+        # kernels/spmm_cusparse.cu:65-119). Gather + segment_sum — the XLA
+        # scatter-add path, far off the tiled kernel; comparator-grade
+        # timing only, opt-in (kernel_bench --coo).
+        from maxk_tpu.ops.spmm import spmm_coo
+        rows_np, cols_np = csr.to_coo()
+        rows_j = jnp.asarray(rows_np.astype(np.int32))
+        cols_j = jnp.asarray(cols_np.astype(np.int32))
+        vals_j = jnp.asarray(csr.values)
+        coo_fn = jax.jit(lambda r, c, v, x: spmm_coo(r, c, v, x,
+                                                     csr.n_nodes))
+        coo = time_fn(lambda: coo_fn(rows_j, cols_j, vals_j, xj),
+                      warmup=2, runs=2, chain=2)
+        coo_ms = coo.mean_ms
+        log(f"0 {name} {dim} {dim} coo_spmm {coo.mean_ms:.4f}")
 
     gnna_ms = None
     if run_gnna:
@@ -250,7 +270,7 @@ def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
         gnna_ms=gnna_ms, topk_ms=topk_ms, forward_ms=fwd_ms,
         backward_ms=bwd_ms, validation=validation,
         roofline=dataclasses.asdict(audit),
-        backward_baseline_ms=bwd_base.mean_ms)
+        backward_baseline_ms=bwd_base.mean_ms, coo_ms=coo_ms)
 
 
 def analyze_speedups(results: Sequence[GraphBenchResult],

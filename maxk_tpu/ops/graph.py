@@ -398,18 +398,24 @@ def build_tiled_graph(csr: CSRGraph,
         for indptr_p, idx_p, val_p in split_csr_columns(
                 csr.indptr, csr.indices, csr.values, col_part_rows):
             e_p = int(idx_p.shape[0])
-            # Per-part sizes: the exact per-block chooser for EVERY part
-            # (round 4). Its cost model now carries all four measured
-            # phases — parted gather rate, one-hot MXU, output RMW
-            # bandwidth, and the ~2.2 us fixed DS/DUS cost per tile
-            # (tools/probe_attrib.py) — so it subsumes the round-3
-            # fill-gated split: at high fill it converges to the
-            # heuristic's big tiles, at low fill the per-tile term
-            # pushes to C ~ 1.3*R*deg (one tile per block) instead of
-            # the tiny-tile layouts that ran 2x slow (s24_dd 65 -> ~35
-            # ms). Parts may differ in R/C; ops.spmm handles
-            # heterogeneous parts.
-            rb_p, et_p = choose_tile_sizes_exact(indptr_p)
+            # Per-part sizes: the measured-optimal heuristic where blocks
+            # fill their tiles, the round-4 re-priced exact chooser where
+            # padding dominates. The gate is the heuristic's own fill
+            # estimate (below half a tile per block the exact chooser's
+            # four-phase model — parted gather rate, one-hot MXU, output
+            # RMW bandwidth, ~2.2 us fixed DS/DUS per tile,
+            # tools/probe_attrib.py — wins: s24_dd 65.2 -> 47.3 ms,
+            # amazon0505 144 -> 89 ms, yelp 201 -> 174 ms). At moderate+
+            # fill the big-tile heuristic stays: the exact model's MAC/
+            # gather constants mis-price that regime and its picks
+            # (reddit parts: (128, 4-6k) vs the measured-optimal
+            # (32-64, 8192)) regressed the reddit-shape training step
+            # 1.74x when briefly applied to every part. Parts may differ
+            # in R/C; ops.spmm handles heterogeneous parts.
+            rb_p, et_p = choose_tile_sizes(csr.n_nodes, max(1, e_p))
+            deg_p = e_p / max(1, csr.n_nodes)
+            if rb_p * deg_p < et_p / 2.0:
+                rb_p, et_p = choose_tile_sizes_exact(indptr_p)
             ts = build_tiles_fast(indptr_p, idx_p, val_p,
                                   row_block=row_block or rb_p,
                                   edge_tile=edge_tile or et_p)

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Render a BENCH_SUITE24.json record as the BASELINE.md suite tables.
+
+Produces (a) a per-graph markdown table (baseline / fused forward /
+sampled backward times with speedups and roofline efficiency) and (b)
+the geomean forward/backward speedup summary for avg-degree>50 graphs —
+the table the reference's analysis script prints
+(/root/reference/main_runner_direct.py:138-213) and the README's
+headline SSpMM comparison (/root/reference/README.md:136).
+
+Usage: python tools/suite_report.py [BENCH_SUITE24.json]
+"""
+
+import json
+import math
+import sys
+
+
+def geomean(xs):
+    xs = [x for x in xs if x]
+    if not xs:
+        return None
+    return math.exp(sum(math.log(x) for x in xs) / len(xs))
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SUITE24.json"
+    with open(path) as f:
+        d = json.load(f)
+    rows = d["results"]
+    proto = d.get("protocol")
+    ks = sorted({int(k) for r in rows for k in r["forward_ms"]})
+
+    print(f"Protocol {proto}, {len(rows)} graphs"
+          f"{' (PARTIAL)' if d.get('partial') else ''}.\n")
+    hdr = ("| graph | V | E | deg | base ms | bwdT ms | "
+           + " | ".join(f"fwd k={k}" for k in ks) + " | "
+           + " | ".join(f"bwd k={k}" for k in ks) + " | eff |")
+    print(hdr)
+    print("|" + "---|" * (hdr.count("|") - 1))
+    for r in rows:
+        fwd = []
+        bwd = []
+        for k in ks:
+            f_ms = r["forward_ms"].get(str(k))
+            s = r["baseline_ms"] / f_ms if f_ms else None
+            fwd.append(f"{f_ms:.1f} ({s:.2f}x)" if f_ms else "-")
+            b_ms = r["backward_ms"].get(str(k))
+            bb = r.get("backward_baseline_ms")
+            bs = bb / b_ms if (b_ms and bb) else None
+            bwd.append(f"{b_ms:.1f} ({bs:.2f}x)" if bs else
+                       (f"{b_ms:.1f}" if b_ms else "-"))
+        eff = (r.get("roofline") or {}).get("efficiency")
+        print(f"| {r['graph']} | {r['n_nodes']} | {r['n_edges']} "
+              f"| {r['avg_degree']:.1f} | {r['baseline_ms']:.2f} "
+              f"| {r.get('backward_baseline_ms') or 0:.2f} | "
+              + " | ".join(fwd) + " | " + " | ".join(bwd)
+              + f" | {eff:.2f} |" if eff is not None else " | - |")
+
+    for label, pred in (("avg-degree>50", lambda r: r["avg_degree"] > 50),
+                        ("all graphs", lambda r: True)):
+        sel = [r for r in rows if pred(r)]
+        print(f"\nGeomeans, {label} ({len(sel)} graphs):")
+        for k in ks:
+            fs = geomean([r["baseline_ms"] / r["forward_ms"][str(k)]
+                          for r in sel if r["forward_ms"].get(str(k))])
+            bs = geomean([r["backward_baseline_ms"] / r["backward_ms"][str(k)]
+                          for r in sel
+                          if r["backward_ms"].get(str(k))
+                          and r.get("backward_baseline_ms")])
+            print(f"  k={k}: forward {fs:.2f}x  backward {bs:.2f}x"
+                  if fs and bs else f"  k={k}: forward {fs}  backward {bs}")
+
+    bad = [r["graph"] for r in rows
+           if r.get("validation") and not r["validation"]["passed"]]
+    print(f"\nvalidation failures: {bad or 'none'}")
+    effs = sorted((r.get("roofline") or {}).get("efficiency") or 0
+                  for r in rows)
+    if effs:
+        print(f"roofline efficiency: min {effs[0]:.2f} / "
+              f"median {effs[len(effs)//2]:.2f} / max {effs[-1]:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -87,20 +87,26 @@ def main():
         else:
             # Fall back to a synthetic-suite graph by name (e.g.
             # `kernel_bench.py syn_products_shape` for a targeted rerun).
+            # A '@<generator>' suffix in the name selects that generator
+            # (recorded row names round-trip: 's24_yelp@rmat' reruns the
+            # R-MAT variant regardless of --generator).
             from maxk_tpu.bench.harness import synthetic_by_name
-            stem = stem.removesuffix("@rmat")
-            g = synthetic_by_name(stem, generator=args.generator)
+            generator = args.generator
+            if "@" in stem:
+                stem, generator = stem.rsplit("@", 1)
+            g = synthetic_by_name(stem, generator=generator)
             if g is None:
                 print(f"# {stem}: no binary under {args.graphs} and no "
                       f"synthetic suite graph of that name", file=sys.stderr)
                 return 2
-            if args.generator != "power":
-                stem = f"{stem}@{args.generator}"
+            if generator != "power":
+                stem = f"{stem}@{generator}"
             graphs = [(stem, g)]
     elif args.suite24:
         from maxk_tpu.bench.harness import suite24
         keep, _ = _resume_rows(args.resume_json)
-        graphs = suite24(skip=frozenset(r.graph for r in keep))
+        graphs = suite24(skip=frozenset(r.graph for r in keep),
+                         generator=args.generator)
     else:
         names = available_graphs(args.graphs)
         if names:

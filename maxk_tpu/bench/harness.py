@@ -189,9 +189,10 @@ def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
     from maxk_tpu.ops.graph import PartedGraph
     parted = isinstance(g, PartedGraph)
     if parted:
-        layouts = [(p.row_block, p.edge_tile, p.n_tiles) for p in g.parts]
+        layouts = [(p.row_block, p.edge_tile, p.n_tiles, p.n_edges)
+                   for p in g.parts]
     else:
-        layouts = [(g.row_block, g.edge_tile, g.n_tiles)]
+        layouts = [(g.row_block, g.edge_tile, g.n_tiles, g.n_edges)]
     audit = audit_spmm_layouts(csr.n_nodes, csr.n_edges, dim, base.mean_ms,
                                layouts, parted=parted)
     log(f"# roofline {name}: {audit.summary()}")
@@ -400,17 +401,21 @@ SUITE24_SPECS = (
 )
 
 
-def suite24(seed: int = 123, skip=()):
+def suite24(seed: int = 123, skip=(), generator: str = "power"):
     """The 24-graph shape-stand-in suite (see SUITE24_SPECS), smallest
     first so partial runs cover the cheap graphs before the multi-minute
     parted giants. Lazily generated (one multi-million-node graph in host
     memory at a time); names in `skip` are not generated at all
-    (kernel_bench --resume-json)."""
-    from maxk_tpu.data.loaders import synthetic_graph
+    (kernel_bench --resume-json). generator='rmat' re-runs the shapes
+    under R-MAT topology; names get an '@rmat' suffix so the records are
+    distinguishable from the power-law rows."""
+    from maxk_tpu.data.loaders import synthetic_graph, rmat_graph
+    gen = {"power": synthetic_graph, "rmat": rmat_graph}[generator]
+    suffix = "" if generator == "power" else f"@{generator}"
     for n, v, d in SUITE24_SPECS:
-        if n in skip:
+        if n + suffix in skip:
             continue
-        yield n, synthetic_graph(v, d, seed=seed)
+        yield n + suffix, gen(v, d, seed=seed)
 
 
 def synthetic_by_name(name: str, seed: int = 123,

@@ -72,23 +72,38 @@ def audit_spmm_layouts(n_nodes: int, n_edges: int, dim: int, time_ms: float,
     """Roofline audit summed over tile layouts.
 
     Args:
-      layouts: [(row_block, edge_tile, n_tiles), ...] — one entry per
-        part of a PartedGraph (heterogeneous sizes), or a single entry.
+      layouts: [(row_block, edge_tile, n_tiles), ...] or
+        [(row_block, edge_tile, n_tiles, n_edges_part), ...] — one entry
+        per part of a PartedGraph (heterogeneous sizes), or one entry.
       pack: logical values per gathered int32 lane (2 for bf16 pairs,
         4 for int8 quads, 1 for unpacked).
-      parted: column-parted execution — the gather runs at the measured
-        in-situ parted rate (~4.7 ns/slot, round-4 attribution) instead
-        of the fused element-bound model.
+      parted: column-parted execution. The slow ~4.7 ns/slot random-read
+        rate (round-4 attribution) applies only to LOW-FILL parts
+        (blocks fill under half a tile — the same gate the tile chooser
+        uses); high-fill parts keep gather reuse and run at the fused
+        element-bound rate (s24_reddit parts measure ~2 ns/slot, not
+        4.7). 4-tuple layouts make the per-part gate exact; 3-tuples
+        fall back to treating every part as low-fill.
     """
     lanes_per_row = -(-dim // pack)
     gather_s = stream_s = mxu_s = dispatch_s = 0.0
-    # The packed-x table is written once per spmm call (per part when
-    # parted, via the materialized slice — counted per layout below as
-    # the slice copy); the initial pack reads x once.
+    # The packed-x table is built once per spmm call: read x f32, write
+    # packed lanes. When parted, each part barrier-materializes its
+    # column-range slice of the packed table (ops.spmm._spmm_parted);
+    # the slices are disjoint row ranges, so together they re-read and
+    # re-write the packed table exactly once more.
     stream_bytes = n_nodes * dim * (4 + 4 / pack)
-    for row_block, edge_tile, n_tiles in layouts:
+    if parted:
+        stream_bytes += n_nodes * dim * (4 / pack) * 2
+    for layout in layouts:
+        row_block, edge_tile, n_tiles = layout[:3]
+        part_edges = layout[3] if len(layout) > 3 else None
         slots = n_tiles * edge_tile                  # incl. padding
-        if parted:
+        low_fill = True
+        if part_edges is not None:
+            deg_p = part_edges / max(1, n_nodes)
+            low_fill = row_block * deg_p < edge_tile / 2.0
+        if parted and low_fill:
             gather_s += slots * model["gather_ns_parted"] * 1e-9
         else:
             # Random gather: element-count bound (v5e measurement;

@@ -28,7 +28,8 @@ MODEL_AXIS = "model"
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None,
-                     local_device_count: Optional[int] = None) -> bool:
+                     local_device_count: Optional[int] = None,
+                     enable: bool = True) -> bool:
     """Multi-host bootstrap: one call per process, before backend init.
 
     The reference is single-process/single-GPU (SURVEY §2.4: no
@@ -47,13 +48,15 @@ def init_distributed(coordinator: Optional[str] = None,
     pod-wide meshes; XLA routes collectives over ICI within a slice and
     DCN/TCP across hosts — no hand-rolled transport (SURVEY §2.4).
     """
-    if local_device_count is not None:
+    if local_device_count:
         flags = os.environ.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (
                 flags + " --xla_force_host_platform_device_count="
                 f"{local_device_count}").strip()
-    if num_processes is not None and num_processes <= 1:
+    # enable=False: virtual-device flag only, no multi-process runtime
+    # (train.py --local_device_count N without --distributed).
+    if not enable or (num_processes is not None and num_processes <= 1):
         return False
     kwargs = {}
     if coordinator is not None:

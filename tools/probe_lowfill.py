@@ -47,9 +47,12 @@ def part_model(csr, row_block, edge_tile, col_part_rows=131072):
         e_p = len(ix)
         rb, et = row_block, edge_tile
         if rb is None or et is None:
-            # Mirror ops.graph.build_tiled_graph round 4: exact chooser
-            # for every part.
-            rb, et = choose_tile_sizes_exact(ip)
+            # Mirror ops.graph.build_tiled_graph: fill-gated chooser
+            # (exact model for low-fill parts, measured heuristic
+            # otherwise).
+            rb, et = choose_tile_sizes(n, max(1, e_p))
+            if rb * (e_p / max(1, n)) < et / 2.0:
+                rb, et = choose_tile_sizes_exact(ip)
         bounds = ip[np.minimum(np.arange(0, n + rb, rb), n)]
         tiles = int(np.sum(-(-np.diff(bounds) // et)))
         grp = gather_group(et)
@@ -73,7 +76,9 @@ def part_model(csr, row_block, edge_tile, col_part_rows=131072):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--graph", default="s24_dd")
-    ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--dim", type=int, default=256, choices=[256],
+                    help="fixed at 256: part_model's gather/stream/mxu "
+                         "constants are calibrated for dim 256 lanes")
     ap.add_argument("--configs", default="auto,128x512,128x1024,128x2048,"
                                          "256x1024,256x2048,512x2048,"
                                          "512x4096,256x4096")
@@ -102,7 +107,6 @@ def main():
           f"deg={nnz/csr.n_nodes:.1f}", file=sys.stderr)
 
     x = jnp.asarray(x_np)
-    rows = []
     for cfg in args.configs.split(","):
         if cfg == "auto":
             rb = et = None
@@ -126,7 +130,6 @@ def main():
                        parts=model["parts"])
         except Exception as e:  # noqa: BLE001 — sweep must continue
             row = dict(config=cfg, error=str(e)[:200])
-        rows.append(row)
         print(json.dumps(row), flush=True)
         del g
 

@@ -51,11 +51,12 @@ def main():
             bwd.append(f"{b_ms:.1f} ({bs:.2f}x)" if bs else
                        (f"{b_ms:.1f}" if b_ms else "-"))
         eff = (r.get("roofline") or {}).get("efficiency")
+        eff_cell = f"{eff:.2f}" if eff is not None else "-"
         print(f"| {r['graph']} | {r['n_nodes']} | {r['n_edges']} "
               f"| {r['avg_degree']:.1f} | {r['baseline_ms']:.2f} "
               f"| {r.get('backward_baseline_ms') or 0:.2f} | "
               + " | ".join(fwd) + " | " + " | ".join(bwd)
-              + f" | {eff:.2f} |" if eff is not None else " | - |")
+              + f" | {eff_cell} |")
 
     for label, pred in (("avg-degree>50", lambda r: r["avg_degree"] > 50),
                         ("all graphs", lambda r: True)):

@@ -32,19 +32,18 @@ def main():
     # Multi-host bootstrap BEFORE any backend initialization: after it,
     # jax.devices() is the pod-global list and the mesh spans hosts.
     import jax
-    if config.local_device_count:
-        # Virtual CPU devices (emulation/testing) — must precede backend
-        # init; also valid without a multi-process job.
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + " --xla_force_host_platform_device_count="
-                f"{config.local_device_count}").strip()
-    if config.distributed or (config.num_processes or 0) > 1:
+    if (config.local_device_count or config.distributed
+            or (config.num_processes or 0) > 1):
+        # init_distributed also owns the virtual-device XLA flag (must
+        # precede backend init); a local_device_count without a
+        # multi-process job just sets the flag and returns.
         from maxk_tpu.parallel.mesh import init_distributed
         init_distributed(coordinator=config.coordinator,
                          num_processes=config.num_processes,
-                         process_id=config.process_id)
+                         process_id=config.process_id,
+                         local_device_count=config.local_device_count,
+                         enable=bool(config.distributed
+                                     or (config.num_processes or 0) > 1))
     proc0 = jax.process_index() == 0
 
     # Per-process side effects: every process computes, process 0 logs

@@ -101,8 +101,8 @@ def audit_spmm_layouts(n_nodes: int, n_edges: int, dim: int, time_ms: float,
         slots = n_tiles * edge_tile                  # incl. padding
         low_fill = True
         if part_edges is not None:
-            deg_p = part_edges / max(1, n_nodes)
-            low_fill = row_block * deg_p < edge_tile / 2.0
+            from maxk_tpu.ops.tiling import low_fill_part
+            low_fill = low_fill_part(n_nodes, part_edges)
         if parted and low_fill:
             gather_s += slots * model["gather_ns_parted"] * 1e-9
         else:

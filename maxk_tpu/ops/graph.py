@@ -393,29 +393,28 @@ def build_tiled_graph(csr: CSRGraph,
     if col_part_rows and csr.n_nodes > col_part_rows:
         from maxk_tpu.ops.tiling import (split_csr_columns,
                                          choose_tile_sizes,
-                                         choose_tile_sizes_exact)
+                                         choose_tile_sizes_exact,
+                                         low_fill_part)
         parts = []
         for indptr_p, idx_p, val_p in split_csr_columns(
                 csr.indptr, csr.indices, csr.values, col_part_rows):
             e_p = int(idx_p.shape[0])
             # Per-part sizes: the measured-optimal heuristic where blocks
             # fill their tiles, the round-4 re-priced exact chooser where
-            # padding dominates. The gate is the heuristic's own fill
-            # estimate (below half a tile per block the exact chooser's
-            # four-phase model — parted gather rate, one-hot MXU, output
-            # RMW bandwidth, ~2.2 us fixed DS/DUS per tile,
-            # tools/probe_attrib.py — wins: s24_dd 65.2 -> 47.3 ms,
-            # amazon0505 144 -> 89 ms, yelp 201 -> 174 ms). At moderate+
-            # fill the big-tile heuristic stays: the exact model's MAC/
-            # gather constants mis-price that regime and its picks
-            # (reddit parts: (128, 4-6k) vs the measured-optimal
+            # padding dominates (low_fill_part — pre-shrink fill gate;
+            # see its docstring for the regime boundary and the measured
+            # wins: s24_dd 65.2 -> 47.3 ms, amazon0505 144 -> 89 ms,
+            # yelp 201 -> 174 ms, com_amazon 67 -> exact layouts). At
+            # moderate+ fill the big-tile heuristic stays: the exact
+            # model's MAC/gather constants mis-price that regime and its
+            # picks (reddit parts: (128, 4-6k) vs the measured-optimal
             # (32-64, 8192)) regressed the reddit-shape training step
             # 1.74x when briefly applied to every part. Parts may differ
             # in R/C; ops.spmm handles heterogeneous parts.
-            rb_p, et_p = choose_tile_sizes(csr.n_nodes, max(1, e_p))
-            deg_p = e_p / max(1, csr.n_nodes)
-            if rb_p * deg_p < et_p / 2.0:
+            if low_fill_part(csr.n_nodes, e_p):
                 rb_p, et_p = choose_tile_sizes_exact(indptr_p)
+            else:
+                rb_p, et_p = choose_tile_sizes(csr.n_nodes, max(1, e_p))
             ts = build_tiles_fast(indptr_p, idx_p, val_p,
                                   row_block=row_block or rb_p,
                                   edge_tile=edge_tile or et_p)

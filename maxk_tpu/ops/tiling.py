@@ -131,6 +131,30 @@ _RMW_NS_PER_ROW = 2 * 256 * 4 / 819.0  # per tile row, at dim 256
 _TILE_FIXED_NS = 2200.0           # DS/DUS pair per tile (round-4 measured)
 
 
+def low_fill_part(n_nodes: int, n_edges: int) -> bool:
+    """Gate between the measured big-tile heuristic and the four-phase
+    exact chooser for a column part: True = padding-dominated regime.
+
+    Tested against the heuristic's PRE-shrink edge tile (the natural
+    8192-slot tile for any serious part), not its post-shrink size: the
+    post-shrink test left borderline parts (fill just above half the
+    *shrunk* tile) on the heuristic — s24_com_amazon's deg-4.3 parts
+    kept (512, 4096) at 47% mean padding and measured 67 ms where the
+    near-identical s24_dd (gated exact, (512, 2048)) measured 48 ms.
+    "Blocks cannot fill half the natural big tile" is the regime
+    boundary the round-4 attribution measured (random-read gather,
+    per-tile fixed cost dominant), independent of how far the shrink
+    clause happened to round down.
+    """
+    avg_degree = max(1.0, n_edges / max(1, n_nodes))
+    edge_tile = 1 << max(9, min(13, int(math.ceil(math.log2(max(
+        512.0, n_edges / 4.0))))))
+    span = 2.0 * edge_tile / avg_degree
+    row_block = 1 << max(5, min(9, int(math.floor(math.log2(max(
+        32.0, min(span, n_nodes)))))))
+    return row_block * avg_degree < edge_tile / 2.0
+
+
 def choose_tile_sizes_exact(indptr: np.ndarray,
                             gather_ns: float = _GATHER_NS_PARTED,
                             row_blocks=(64, 128, 256, 512, 1024),

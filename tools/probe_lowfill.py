@@ -35,7 +35,8 @@ def part_model(csr, row_block, edge_tile, col_part_rows=131072):
     (R, C) (the recorded suite rooflines used part 0's sizes for every
     part, which misstates slots for heterogeneous parts)."""
     from maxk_tpu.ops.tiling import (split_csr_columns, choose_tile_sizes,
-                                     choose_tile_sizes_exact, gather_group)
+                                     choose_tile_sizes_exact, gather_group,
+                                     low_fill_part)
     from maxk_tpu.bench.roofline import V5E
 
     n = csr.n_nodes
@@ -50,9 +51,10 @@ def part_model(csr, row_block, edge_tile, col_part_rows=131072):
             # Mirror ops.graph.build_tiled_graph: fill-gated chooser
             # (exact model for low-fill parts, measured heuristic
             # otherwise).
-            rb, et = choose_tile_sizes(n, max(1, e_p))
-            if rb * (e_p / max(1, n)) < et / 2.0:
+            if low_fill_part(n, e_p):
                 rb, et = choose_tile_sizes_exact(ip)
+            else:
+                rb, et = choose_tile_sizes(n, max(1, e_p))
         bounds = ip[np.minimum(np.arange(0, n + rb, rb), n)]
         tiles = int(np.sum(-(-np.diff(bounds) // et)))
         grp = gather_group(et)

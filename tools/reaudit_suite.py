@@ -27,7 +27,8 @@ def host_layouts(csr):
     tile counts rounded to gather-group multiples (ops.tiling)."""
     from maxk_tpu.ops.graph import COL_PART_ROWS, _PART_THRESHOLD
     from maxk_tpu.ops.tiling import (split_csr_columns, choose_tile_sizes,
-                                     choose_tile_sizes_exact, gather_group)
+                                     choose_tile_sizes_exact, gather_group,
+                                     low_fill_part)
     n = csr.n_nodes
 
     def tiles_for(indptr, rb, et):
@@ -43,9 +44,10 @@ def host_layouts(csr):
     for ip, ix, _ in split_csr_columns(csr.indptr, csr.indices,
                                        csr.values, COL_PART_ROWS):
         e_p = len(ix)
-        rb, et = choose_tile_sizes(n, max(1, e_p))
-        if rb * (e_p / max(1, n)) < et / 2.0:
+        if low_fill_part(n, e_p):
             rb, et = choose_tile_sizes_exact(ip)
+        else:
+            rb, et = choose_tile_sizes(n, max(1, e_p))
         layouts.append((rb, et, tiles_for(ip, rb, et), e_p))
     return layouts, True
 

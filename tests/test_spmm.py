@@ -361,3 +361,29 @@ def test_hub_default_off(small_graph, skewed_graph):
     assert build_tiled_graph(skewed_graph).hub_ids is None
     # Explicit off always wins.
     assert build_tiled_graph(skewed_graph, hub_cols=0).hub_ids is None
+
+
+def test_low_fill_part_gate_regimes():
+    """The chooser gate (ops.tiling.low_fill_part) must send
+    padding-dominated parts to the exact chooser and keep high-fill
+    parts on the measured big-tile heuristic.
+
+    Pins the two regressions it guards against: (a) round-4's brief
+    all-parts-exact rule regressed reddit-shape training 1.74x (high
+    fill must gate False); (b) the post-shrink gate left borderline
+    deg~4.3 parts (s24_com_amazon) on the heuristic at 47% padding
+    (67.3 vs 48.2 ms against near-identical s24_dd) — fill just above
+    half the SHRUNK tile must still gate True."""
+    from maxk_tpu.ops.tiling import low_fill_part
+
+    v = 334863
+    # com_amazon-class borderline part: deg 4.28 -> fill 2192 vs the
+    # post-shrink (512, 4096) tile; must be low-fill under the
+    # pre-shrink (8192) gate.
+    assert low_fill_part(v, int(v * 4.28))
+    # reddit-class part: deg 277 fills any tile -> heuristic.
+    assert not low_fill_part(232965, int(232965 * 277))
+    # proteins-class part 0: deg 150 -> heuristic.
+    assert not low_fill_part(132534, int(132534 * 150))
+    # yeast-class ultra-sparse part: deg 0.3 -> exact.
+    assert low_fill_part(1714644, int(1714644 * 0.3))

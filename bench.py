@@ -41,9 +41,8 @@ def main():
     import jax
     # The axon sitecustomize overwrites JAX_PLATFORMS at import time;
     # honor an explicit env choice (e.g. cpu smoke runs) like train.py.
-    envp = os.environ.get("JAX_PLATFORMS")
-    if envp:
-        jax.config.update("jax_platforms", envp)
+    from maxk_tpu.platform import honor_env_platforms
+    honor_env_platforms()
 
     # Fail fast (not hang) when the remote TPU backend is unreachable:
     # backend init over a dead tunnel blocks for unbounded time, which

@@ -72,9 +72,8 @@ def main():
     import jax
     # The axon sitecustomize overwrites JAX_PLATFORMS at import time;
     # honor an explicit env choice (CPU smoke runs) like train.py.
-    envp = os.environ.get("JAX_PLATFORMS")
-    if envp:
-        jax.config.update("jax_platforms", envp)
+    from maxk_tpu.platform import honor_env_platforms
+    honor_env_platforms()
 
     from maxk_tpu.data.loaders import load_csr_binary, available_graphs
     from maxk_tpu.bench.harness import (benchmark_graph, analyze_speedups,
@@ -146,8 +145,10 @@ def main():
             # reference's own check is disabled in its loop,
             # kernels/main.cu:154-161). The failure is recorded and the
             # run continues; rerun the graph alone with --no-validate.
+            import traceback
             print(f"# {name}: FAILED ({type(e).__name__}: "
                   f"{str(e)[:300]})", file=sys.stderr)
+            traceback.print_exc(limit=8)
             errors.append(name)
             continue
         if args.json:

@@ -111,16 +111,24 @@ class GraphBenchResult:
         return cls(**d)
 
 
-def _validate(g, g_t, g_seg, g_seg_t, x, k, dim) -> dict:
+def _validate(g, g_t, csr, x, k, dim) -> dict:
     """Forward/backward numerical validation against oracles.
 
     Tolerances per reference kernels/main.cu:32-45: element flagged at
     abs err > 0.1; pass iff mean abs err < 1e-3. Validation runs in fp32
     compute (the reference kernels are fp32).
+
+    The segment-sum oracle runs ON HOST (CPU backend): the op under test
+    keeps its production layout on the device, while the oracle's
+    unparted graph + dense expansion would otherwise double the device
+    graph footprint — at suite-giant scale (s24_soc_pokec, E=61M) that
+    crashed the TPU worker mid-suite. Host oracle time is seconds and
+    only paid once per graph.
     """
     import jax
     import jax.numpy as jnp
-    from maxk_tpu.ops.cbsr import cbsr_topk, cbsr_expand
+    from maxk_tpu.ops.cbsr import cbsr_topk, cbsr_expand, cbsr_gather
+    from maxk_tpu.ops.graph import build_tiled_graph
     from maxk_tpu.ops.spmm import spmm_segment
     from maxk_tpu.ops.spgemm import spgemm_forward_cbsr, sspmm_sampled
 
@@ -128,19 +136,32 @@ def _validate(g, g_t, g_seg, g_seg_t, x, k, dim) -> dict:
     v, s = jax.jit(cbsr_topk, static_argnames=("k",))(xj, k=k)
     y = jax.jit(lambda g, v, s: spgemm_forward_cbsr(
         g, v, s, dim, compute_dtype=jnp.float32))(g, v, s)
-    y_ref = jax.jit(lambda g, v, s: spmm_segment(
-        g, cbsr_expand(v, s, dim)))(g_seg, v, s)
-    err = np.abs(np.asarray(y, np.float64) - np.asarray(y_ref, np.float64))
-    scale = max(1.0, float(np.abs(np.asarray(y_ref)).mean()))
 
-    dy = jnp.asarray(
-        np.random.default_rng(7).uniform(size=y.shape).astype(np.float32))
+    dy_np = np.random.default_rng(7).uniform(size=(csr.n_nodes, dim)) \
+        .astype(np.float32)
     gc = jax.jit(lambda gt, dy, s: sspmm_sampled(
-        gt, dy, s, compute_dtype=jnp.float32))(g_t, dy, s)
-    from maxk_tpu.ops.cbsr import cbsr_gather
-    gc_ref = jax.jit(lambda gt, dy, s: cbsr_gather(
-        spmm_segment(gt, dy), s))(g_seg_t, dy, s)
-    berr = np.abs(np.asarray(gc, np.float64) - np.asarray(gc_ref, np.float64))
+        gt, dy, s, compute_dtype=jnp.float32))(g_t, jnp.asarray(dy_np), s)
+    y_np = np.asarray(y, np.float64)
+    gc_np = np.asarray(gc, np.float64)
+    v_np, s_np = np.asarray(v), np.asarray(s)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        # Oracle graphs: unparted, hub-free tiles on host memory.
+        g_seg = build_tiled_graph(csr, col_part_rows=0, hub_cols=0)
+        g_seg_t = build_tiled_graph(csr.transpose(), col_part_rows=0,
+                                    hub_cols=0)
+        vc, sc = jnp.asarray(v_np), jnp.asarray(s_np)
+        y_ref = jax.jit(lambda g, v, s: spmm_segment(
+            g, cbsr_expand(v, s, dim)))(g_seg, vc, sc)
+        gc_ref = jax.jit(lambda gt, dy, s: cbsr_gather(
+            spmm_segment(gt, dy), s))(g_seg_t, jnp.asarray(dy_np), sc)
+        y_ref = np.asarray(y_ref, np.float64)
+        gc_ref = np.asarray(gc_ref, np.float64)
+
+    err = np.abs(y_np - y_ref)
+    scale = max(1.0, float(np.abs(y_ref).mean()))
+    berr = np.abs(gc_np - gc_ref)
 
     mean_err = float(err.mean() / scale)
     max_err = float(err.max() / scale)
@@ -238,13 +259,11 @@ def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
     topk_ms, fwd_ms, bwd_ms = {}, {}, {}
     for n, k in enumerate(ks):
         if validate and n == 0:
-            # The segment-sum oracle runs on unparted, hub-free tiles; the
-            # op under test keeps its production (possibly column-parted /
-            # hub-densified) layout.
-            g_seg = build_tiled_graph(csr, col_part_rows=0, hub_cols=0)
-            g_seg_t = build_tiled_graph(csr.transpose(), col_part_rows=0,
-                                        hub_cols=0)
-            validation = _validate(g, g_t, g_seg, g_seg_t, x, k, dim)
+            # The segment-sum oracle runs on unparted, hub-free tiles ON
+            # HOST (see _validate); the op under test keeps its
+            # production (possibly column-parted / hub-densified) device
+            # layout.
+            validation = _validate(g, g_t, csr, x, k, dim)
             status = "pass" if validation["passed"] else "FAIL"
             log(f"# validation k={k}: mean_err={validation['mean_err']:.2e} "
                 f"max_err={validation['max_err']:.2e} "

@@ -47,9 +47,8 @@ def main():
 
     import os
     import jax
-    envp = os.environ.get("JAX_PLATFORMS")
-    if envp:
-        jax.config.update("jax_platforms", envp)
+    from maxk_tpu.platform import honor_env_platforms
+    honor_env_platforms()
     import jax.numpy as jnp
     import importlib
     spmm_mod = importlib.import_module("maxk_tpu.ops.spmm")

@@ -43,9 +43,8 @@ def main():
 
     import os
     import jax
-    envp = os.environ.get("JAX_PLATFORMS")
-    if envp:
-        jax.config.update("jax_platforms", envp)
+    from maxk_tpu.platform import honor_env_platforms
+    honor_env_platforms()
     import jax.numpy as jnp
     from maxk_tpu.data.loaders import synthetic_graph
     from maxk_tpu.ops.graph import build_tiled_graph

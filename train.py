@@ -20,11 +20,10 @@ from maxk_tpu.data.datasets import load_dataset
 
 def main():
     # The axon sitecustomize overwrites JAX_PLATFORMS at import time;
-    # re-assert the user's env choice via jax.config (works pre-backend).
-    envp = os.environ.get("JAX_PLATFORMS")
-    if envp:
-        import jax
-        jax.config.update("jax_platforms", envp)
+    # re-assert the user's env choice via jax.config (works pre-backend),
+    # keeping the host cpu backend reachable (maxk_tpu.platform).
+    from maxk_tpu.platform import honor_env_platforms
+    honor_env_platforms()
 
     config = TrainConfig().parse_args()
     np.random.seed(config.seed)

@@ -43,9 +43,8 @@ def main():
     import jax
     # The axon sitecustomize overwrites JAX_PLATFORMS at import time;
     # honor an explicit env choice (CPU smoke runs) like train.py.
-    envp = os.environ.get("JAX_PLATFORMS")
-    if envp:
-        jax.config.update("jax_platforms", envp)
+    from maxk_tpu.platform import honor_env_platforms
+    honor_env_platforms()
 
     from maxk_tpu.data.datasets import load_dataset, Dataset
     from maxk_tpu.data.loaders import synthetic_graph

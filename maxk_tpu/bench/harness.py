@@ -111,6 +111,48 @@ class GraphBenchResult:
         return cls(**d)
 
 
+def _csr_spmm_numpy(indptr, indices, vals, dense,
+                    edges_per_chunk: int = 4_000_000) -> np.ndarray:
+    """Chunked numpy CSR x dense oracle, O(chunk) extra memory.
+
+    The jax segment-sum oracle materializes the gathered (E, D)
+    intermediate — 62 GB at s24_soc_pokec on the CPU backend and >RAM at
+    s24_ogbn_products — so giant-graph validation reduces row blocks
+    with np.add.reduceat over bounded gather chunks instead.
+    """
+    indptr = np.asarray(indptr, dtype=np.int64)
+    n = indptr.shape[0] - 1
+    d = dense.shape[1]
+    out = np.zeros((n, d), dtype=np.float64)
+    deg = np.diff(indptr)
+    r0 = 0
+    while r0 < n:
+        # Extend the row block until it holds ~edges_per_chunk edges.
+        r1 = int(np.searchsorted(indptr, indptr[r0] + edges_per_chunk,
+                                 side="right")) - 1
+        r1 = max(r1, r0 + 1)
+        r1 = min(r1, n)
+        e0, e1 = int(indptr[r0]), int(indptr[r1])
+        if e1 > e0:
+            gathered = dense[indices[e0:e1]].astype(np.float64)
+            gathered *= vals[e0:e1, None]
+            starts = indptr[r0:r1] - e0
+            # Trailing empty rows start AT e1-e0 — reduceat rejects
+            # out-of-range indices, and clamping them down would
+            # truncate the previous row's segment. Exclude them (they
+            # are zero rows) and reduce only in-range starts.
+            mask = starts < (e1 - e0)
+            res = np.add.reduceat(gathered, starts[mask], axis=0)
+            blk = out[r0:r1]
+            blk[mask] = res
+            # reduceat mishandles empty MIDDLE segments too (returns the
+            # element at the boundary instead of 0) — zero-degree rows
+            # are zeroed.
+            blk[deg[r0:r1] == 0] = 0.0
+        r0 = r1
+    return out
+
+
 def _validate(g, g_t, csr, x, k, dim) -> dict:
     """Forward/backward numerical validation against oracles.
 
@@ -118,18 +160,16 @@ def _validate(g, g_t, csr, x, k, dim) -> dict:
     abs err > 0.1; pass iff mean abs err < 1e-3. Validation runs in fp32
     compute (the reference kernels are fp32).
 
-    The segment-sum oracle runs ON HOST (CPU backend): the op under test
-    keeps its production layout on the device, while the oracle's
-    unparted graph + dense expansion would otherwise double the device
-    graph footprint — at suite-giant scale (s24_soc_pokec, E=61M) that
-    crashed the TPU worker mid-suite. Host oracle time is seconds and
-    only paid once per graph.
+    The oracle runs ON HOST in chunked numpy: the op under test keeps
+    its production layout on the device, while a device-resident oracle
+    doubled the graph footprint and crashed the TPU worker at
+    suite-giant scale (s24_soc_pokec, E=61M), and the CPU-backend jax
+    oracle materialized the gathered (E, D) intermediate (62 GB there,
+    >RAM at products scale). Oracle time is seconds per graph.
     """
     import jax
     import jax.numpy as jnp
-    from maxk_tpu.ops.cbsr import cbsr_topk, cbsr_expand, cbsr_gather
-    from maxk_tpu.ops.graph import build_tiled_graph
-    from maxk_tpu.ops.spmm import spmm_segment
+    from maxk_tpu.ops.cbsr import cbsr_topk
     from maxk_tpu.ops.spgemm import spgemm_forward_cbsr, sspmm_sampled
 
     xj = jnp.asarray(x)
@@ -145,19 +185,15 @@ def _validate(g, g_t, csr, x, k, dim) -> dict:
     gc_np = np.asarray(gc, np.float64)
     v_np, s_np = np.asarray(v), np.asarray(s)
 
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        # Oracle graphs: unparted, hub-free tiles on host memory.
-        g_seg = build_tiled_graph(csr, col_part_rows=0, hub_cols=0)
-        g_seg_t = build_tiled_graph(csr.transpose(), col_part_rows=0,
-                                    hub_cols=0)
-        vc, sc = jnp.asarray(v_np), jnp.asarray(s_np)
-        y_ref = jax.jit(lambda g, v, s: spmm_segment(
-            g, cbsr_expand(v, s, dim)))(g_seg, vc, sc)
-        gc_ref = jax.jit(lambda gt, dy, s: cbsr_gather(
-            spmm_segment(gt, dy), s))(g_seg_t, jnp.asarray(dy_np), sc)
-        y_ref = np.asarray(y_ref, np.float64)
-        gc_ref = np.asarray(gc_ref, np.float64)
+    # Densified CBSR input (the reference validates against cuSPARSE on
+    # the scattered dense mirror, main.cu:135-146).
+    x_exp = np.zeros((csr.n_nodes, dim), dtype=np.float32)
+    np.put_along_axis(x_exp, s_np.astype(np.int64), v_np, axis=1)
+    y_ref = _csr_spmm_numpy(csr.indptr, csr.indices, csr.values, x_exp)
+
+    csr_t = csr.transpose()
+    dst = _csr_spmm_numpy(csr_t.indptr, csr_t.indices, csr_t.values, dy_np)
+    gc_ref = np.take_along_axis(dst, s_np.astype(np.int64), axis=1)
 
     err = np.abs(y_np - y_ref)
     scale = max(1.0, float(np.abs(y_ref).mean()))

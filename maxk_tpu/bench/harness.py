@@ -153,8 +153,9 @@ def _csr_spmm_numpy(indptr, indices, vals, dense,
     return out
 
 
-def _validate(g, g_t, csr, x, k, dim) -> dict:
-    """Forward/backward numerical validation against oracles.
+def _validate_fwd(g, csr, v_np, s_np, k, dim) -> dict:
+    """Forward validation against the host oracle (partial record; the
+    backward half is added by _validate_bwd in the backward phase).
 
     Tolerances per reference kernels/main.cu:32-45: element flagged at
     abs err > 0.1; pass iff mean abs err < 1e-3. Validation runs in fp32
@@ -169,21 +170,13 @@ def _validate(g, g_t, csr, x, k, dim) -> dict:
     """
     import jax
     import jax.numpy as jnp
-    from maxk_tpu.ops.cbsr import cbsr_topk
-    from maxk_tpu.ops.spgemm import spgemm_forward_cbsr, sspmm_sampled
+    from maxk_tpu.ops.spgemm import spgemm_forward_cbsr
 
-    xj = jnp.asarray(x)
-    v, s = jax.jit(cbsr_topk, static_argnames=("k",))(xj, k=k)
     y = jax.jit(lambda g, v, s: spgemm_forward_cbsr(
-        g, v, s, dim, compute_dtype=jnp.float32))(g, v, s)
-
-    dy_np = np.random.default_rng(7).uniform(size=(csr.n_nodes, dim)) \
-        .astype(np.float32)
-    gc = jax.jit(lambda gt, dy, s: sspmm_sampled(
-        gt, dy, s, compute_dtype=jnp.float32))(g_t, jnp.asarray(dy_np), s)
+        g, v, s, dim, compute_dtype=jnp.float32))(
+            g, jnp.asarray(v_np), jnp.asarray(s_np))
     y_np = np.asarray(y, np.float64)
-    gc_np = np.asarray(gc, np.float64)
-    v_np, s_np = np.asarray(v), np.asarray(s)
+    del y
 
     # Densified CBSR input (the reference validates against cuSPARSE on
     # the scattered dense mirror, main.cu:135-146).
@@ -191,21 +184,40 @@ def _validate(g, g_t, csr, x, k, dim) -> dict:
     np.put_along_axis(x_exp, s_np.astype(np.int64), v_np, axis=1)
     y_ref = _csr_spmm_numpy(csr.indptr, csr.indices, csr.values, x_exp)
 
-    csr_t = csr.transpose()
+    err = np.abs(y_np - y_ref)
+    scale = max(1.0, float(np.abs(y_ref).mean()))
+    mean_err = float(err.mean() / scale)
+    return dict(k=k, mean_err=mean_err,
+                max_err=float(err.max() / scale),
+                n_flagged=int((err / scale > 0.1).sum()),
+                scale=scale, passed=bool(mean_err < 1e-3))
+
+
+def _validate_bwd(g_t, csr_t, s_np, dim, validation: dict) -> dict:
+    """Backward validation (sampled SSpMM vs host transpose oracle);
+    completes the record started by _validate_fwd in place."""
+    import jax
+    import jax.numpy as jnp
+    from maxk_tpu.ops.spgemm import sspmm_sampled
+
+    dy_np = np.random.default_rng(7).uniform(size=(csr_t.n_nodes, dim)) \
+        .astype(np.float32)
+    gc = jax.jit(lambda gt, dy, s: sspmm_sampled(
+        gt, dy, s, compute_dtype=jnp.float32))(
+            g_t, jnp.asarray(dy_np), jnp.asarray(s_np))
+    gc_np = np.asarray(gc, np.float64)
+    del gc
+
     dst = _csr_spmm_numpy(csr_t.indptr, csr_t.indices, csr_t.values, dy_np)
     gc_ref = np.take_along_axis(dst, s_np.astype(np.int64), axis=1)
 
-    err = np.abs(y_np - y_ref)
-    scale = max(1.0, float(np.abs(y_ref).mean()))
+    scale = validation.pop("scale", 1.0)
     berr = np.abs(gc_np - gc_ref)
-
-    mean_err = float(err.mean() / scale)
-    max_err = float(err.max() / scale)
     bwd_mean_err = float(berr.mean() / scale)
-    return dict(k=k, mean_err=mean_err, max_err=max_err,
-                n_flagged=int((err / scale > 0.1).sum()),
-                bwd_mean_err=bwd_mean_err,
-                passed=bool(mean_err < 1e-3 and bwd_mean_err < 1e-3))
+    validation["bwd_mean_err"] = bwd_mean_err
+    validation["passed"] = bool(validation["passed"]
+                                and bwd_mean_err < 1e-3)
+    return validation
 
 
 def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
@@ -213,34 +225,32 @@ def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
                     run_gnna: bool = True, run_coo: bool = False,
                     seed: int = 123,
                     log=print) -> GraphBenchResult:
-    """Benchmark one graph, reference protocol (kernels/main.cu:50-185)."""
+    """Benchmark one graph, reference protocol (kernels/main.cu:50-185).
+
+    Two device phases so giants fit HBM (s24_ogbn_products OOM'd with
+    forward graph + transpose + both dense operands resident): the
+    forward phase holds (g, x) — baseline/COO/GNNA/TopK/fused forward —
+    then frees them; the backward phase holds (g_t, dy) — transpose
+    baseline and sampled SSpMM. Selectors cross phases as host arrays.
+    """
     import jax
     import jax.numpy as jnp
     from maxk_tpu.ops.spmm import spmm
     from maxk_tpu.ops.cbsr import cbsr_topk
-    from maxk_tpu.ops.spgemm import maxk_spgemm, spgemm_forward_cbsr, \
-        sspmm_sampled
+    from maxk_tpu.ops.spgemm import spgemm_forward_cbsr, sspmm_sampled
 
     rng = np.random.default_rng(seed)  # reference seeds 123 (main.cu:75)
     vals = rng.uniform(0.0, 1.0, size=csr.n_edges).astype(np.float32)
     csr = csr.with_values(vals)
     x = rng.uniform(0.0, 1.0, size=(csr.n_nodes, dim)).astype(np.float32)
 
+    # ---- Forward phase: g + x resident. ----
     g = build_tiled_graph(csr)
-    g_t = build_tiled_graph(csr.transpose())
     xj = jnp.asarray(x)
 
     # Baseline: library SpMM on the dense input, 10+10 protocol.
     base = time_fn(lambda: spmm(g, xj), warmup=10, runs=10)
     log(f"0 {name} {dim} {dim} baseline_spmm {base.mean_ms:.4f}")
-
-    # Dense backward baseline: transpose SpMM at full dim — the cost a
-    # non-MaxK training step pays for dX = A^T dY (reference headline
-    # "SSpMM speedup vs cuSPARSE", README.md:136, is a backward number).
-    dy_base = jnp.asarray(rng.uniform(size=(csr.n_nodes, dim))
-                          .astype(np.float32))
-    bwd_base = time_fn(lambda: spmm(g_t, dy_base), warmup=4, runs=4)
-    log(f"0 {name} {dim} {dim} baseline_spmm_T {bwd_base.mean_ms:.4f}")
 
     from maxk_tpu.bench.roofline import audit_spmm_layouts
     from maxk_tpu.ops.graph import PartedGraph
@@ -289,36 +299,59 @@ def benchmark_graph(csr: CSRGraph, name: str, dim: int = DIM_ORIGIN,
 
     jit_topk = jax.jit(cbsr_topk, static_argnames=("k",))
     jit_fwd = jax.jit(lambda g, v, s: spgemm_forward_cbsr(g, v, s, dim))
-    jit_bwd = jax.jit(sspmm_sampled)
 
     validation = None
     topk_ms, fwd_ms, bwd_ms = {}, {}, {}
+    s_host = {}                      # k -> host selector for phase B
     for n, k in enumerate(ks):
-        if validate and n == 0:
-            # The segment-sum oracle runs on unparted, hub-free tiles ON
-            # HOST (see _validate); the op under test keeps its
-            # production (possibly column-parted / hub-densified) device
-            # layout.
-            validation = _validate(g, g_t, csr, x, k, dim)
-            status = "pass" if validation["passed"] else "FAIL"
-            log(f"# validation k={k}: mean_err={validation['mean_err']:.2e} "
-                f"max_err={validation['max_err']:.2e} "
-                f"bwd_mean_err={validation['bwd_mean_err']:.2e} [{status}]")
-
         tk = time_fn(lambda: jit_topk(xj, k=k), warmup=4, runs=4)
         topk_ms[k] = tk.mean_ms
         log(f"{n} {name} {dim} {k} topk {tk.mean_ms:.4f}")
 
         v, s = jax.block_until_ready(jit_topk(xj, k=k))
+        s_host[k] = np.asarray(s)
+        if validate and n == 0:
+            # Host-side chunked-numpy oracle (see _validate_fwd); the op
+            # under test keeps its production (possibly column-parted /
+            # hub-densified) device layout. Backward half in phase B.
+            validation = _validate_fwd(g, csr, np.asarray(v), s_host[k],
+                                       k, dim)
+            log(f"# validation k={k} fwd: "
+                f"mean_err={validation['mean_err']:.2e} "
+                f"max_err={validation['max_err']:.2e}")
+
         fw = time_fn(lambda: jit_fwd(g, v, s), warmup=4, runs=4)
         fwd_ms[k] = fw.mean_ms
         log(f"{n} {name} {dim} {k} maxk {fw.mean_ms:.4f}")
+        del v, s
 
-        dy = jnp.asarray(rng.uniform(size=(csr.n_nodes, dim))
-                         .astype(np.float32))
+    # ---- Backward phase: free (g, x), hold (g_t, dy). ----
+    del g, xj, jit_fwd
+    csr_t = csr.transpose()
+    g_t = build_tiled_graph(csr_t)
+    jit_bwd = jax.jit(sspmm_sampled)
+
+    # Dense backward baseline: transpose SpMM at full dim — the cost a
+    # non-MaxK training step pays for dX = A^T dY (reference headline
+    # "SSpMM speedup vs cuSPARSE", README.md:136, is a backward number).
+    dy = jnp.asarray(rng.uniform(size=(csr.n_nodes, dim))
+                     .astype(np.float32))
+    bwd_base = time_fn(lambda: spmm(g_t, dy), warmup=4, runs=4)
+    log(f"0 {name} {dim} {dim} baseline_spmm_T {bwd_base.mean_ms:.4f}")
+
+    for n, k in enumerate(ks):
+        s = jnp.asarray(s_host[k])
+        if validate and n == 0 and validation is not None:
+            validation = _validate_bwd(g_t, csr_t, s_host[k], dim,
+                                       validation)
+            status = "pass" if validation["passed"] else "FAIL"
+            log(f"# validation k={k}: mean_err={validation['mean_err']:.2e} "
+                f"max_err={validation['max_err']:.2e} "
+                f"bwd_mean_err={validation['bwd_mean_err']:.2e} [{status}]")
         bw = time_fn(lambda: jit_bwd(g_t, dy, s), warmup=4, runs=4)
         bwd_ms[k] = bw.mean_ms
         log(f"{n} {name} {dim} {k} maxk_backward {bw.mean_ms:.4f}")
+        del s
 
     return GraphBenchResult(
         graph=name, n_nodes=csr.n_nodes, n_edges=csr.n_edges,

@@ -66,3 +66,43 @@ def test_reaudit_rewrites_only_rooflines(tmp_path):
     assert rf["time_ms"] == 0.7
     assert 0 < rf["efficiency"] <= 1.0
     assert rf["serial_ms"] > 0
+
+
+def test_suite_report_rmat_delta_table(tmp_path):
+    """--rmat pairs '<name>@rmat' rows with their power-law stand-ins and
+    prints signed per-phase deltas plus a max-|delta| bound line."""
+    base = dict(protocol=2, results=[_row("s24_x", base=10.0)])
+    rmat = dict(protocol=2, results=[
+        dict(_row("s24_x@rmat", base=12.0),
+             forward_ms={"16": 4.0}, backward_ms={"16": 5.0}),
+        _row("s24_orphan@rmat"),        # no power twin: renders, no delta
+    ])
+    pb, pr = tmp_path / "b.json", tmp_path / "r.json"
+    pb.write_text(json.dumps(base))
+    pr.write_text(json.dumps(rmat))
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "suite_report.py"),
+         "--rmat", str(pr), str(pb)],
+        capture_output=True, text=True, check=True).stdout
+    line = next(ln for ln in out.splitlines() if ln.startswith("| s24_x "))
+    assert "+20%" in line                # baseline 10 -> 12
+    assert "-20%" in line                # fwd16 5 -> 4
+    assert "+25%" in line                # bwd16 4 -> 5
+    assert any(ln.startswith("| s24_orphan ") for ln in out.splitlines())
+    assert "max |delta|" in out
+
+
+def test_suite_report_coo_table(tmp_path):
+    """--coo renders CSR-vs-COO rows and skips rows without coo_ms."""
+    rec = dict(protocol=2, results=[
+        dict(_row("g_coo", base=5.0), coo_ms=50.0),
+        _row("g_nocoo"),
+    ])
+    p = tmp_path / "coo.json"
+    p.write_text(json.dumps(rec))
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "suite_report.py"),
+         "--coo", str(p)],
+        capture_output=True, text=True, check=True).stdout
+    assert "g_coo" in out and "0.10x" in out
+    assert "g_nocoo" not in out

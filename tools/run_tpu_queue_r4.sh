@@ -1,0 +1,60 @@
+#!/bin/bash
+# Round-4 TPU measurement queue: chains after an in-flight suite24
+# continuation (pass its PID as $1, optional). One TPU process at a
+# time — the axon tunnel serializes concurrent processes and corrupts
+# timings.
+#
+# Items (smallest-first inside each group):
+#   1. suite24 retry if rows are still missing (giants may have hit the
+#      previous run's timeout cap; incremental writes keep finished rows).
+#   2. R-MAT topology-sensitivity reruns (VERDICT r3 Weak #6): the same
+#      (V, degree) shapes under R-MAT (0.57,0.19,0.19,0.05) instead of
+#      the uniform power-law stand-in, accumulated into BENCH_RMAT.json.
+#   3. COO SpMM baseline timings (VERDICT r3 Weak #7) on the small/mid
+#      shapes (the COO comparator is a slow scatter-add; giants would
+#      dominate the queue for a comparator number).
+set -u
+cd "$(dirname "$0")/.."
+OUT=${2:-/tmp/tpu_queue_r4}
+mkdir -p "$OUT"
+
+if [ -n "${1:-}" ]; then
+  echo "waiting for in-flight TPU pid $1 ..."
+  while kill -0 "$1" 2>/dev/null; do sleep 20; done
+fi
+
+run() {
+  local name=$1 cap=$2; shift 2
+  echo "=== $name (cap ${cap}s) ==="
+  timeout "$cap" "$@" >"$OUT/$name.out" 2>"$OUT/$name.err"
+  local rc=$?
+  echo "--- exit=$rc; tail:"; tail -3 "$OUT/$name.out"
+  [ $rc -ne 0 ] && tail -3 "$OUT/$name.err"
+  return 0
+}
+
+missing=$(python - <<'EOF'
+import json
+try:
+    d = json.load(open('BENCH_SUITE24.json'))
+    print(24 - len(d.get('results', [])))
+except Exception:
+    print(24)
+EOF
+)
+if [ "$missing" != "0" ]; then
+  run suite24_retry 2400 python kernel_bench.py --suite24 --no-gnna \
+      --json BENCH_SUITE24.json --resume-json BENCH_SUITE24.json
+fi
+
+for g in s24_dd s24_flickr s24_yelp s24_reddit; do
+  run "rmat_$g" 1500 python kernel_bench.py "$g@rmat" --no-gnna \
+      --json BENCH_RMAT.json --resume-json BENCH_RMAT.json
+done
+
+for g in s24_cora s24_pubmed s24_flickr s24_ogbn_arxiv; do
+  run "coo_$g" 900 python kernel_bench.py "$g" --coo --no-gnna \
+      --json BENCH_COO.json --resume-json BENCH_COO.json
+done
+
+echo "=== r4 queue done; logs under $OUT ==="

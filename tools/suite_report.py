@@ -9,6 +9,14 @@ the table the reference's analysis script prints
 headline SSpMM comparison (/root/reference/README.md:136).
 
 Usage: python tools/suite_report.py [BENCH_SUITE24.json]
+       python tools/suite_report.py --rmat BENCH_RMAT.json [BENCH_SUITE24.json]
+       python tools/suite_report.py --coo BENCH_COO.json
+
+--rmat renders the topology-sensitivity table: each '<name>@rmat' row
+paired with its power-law stand-in from the main suite record, with
+per-phase deltas (VERDICT r3 Weak #6 asks for a measured +-X% bound).
+--coo renders the COO-vs-CSR baseline comparator table (the reference
+times spmm_cusparse_coo alongside CSR, kernels/spmm_cusparse.cu:65-119).
 """
 
 import json
@@ -23,8 +31,70 @@ def geomean(xs):
     return math.exp(sum(math.log(x) for x in xs) / len(xs))
 
 
+def _load_rows(path):
+    with open(path) as f:
+        return json.load(f)["results"]
+
+
+def rmat_report(rmat_path, base_path):
+    base = {r["graph"]: r for r in _load_rows(base_path)}
+    rrows = [r for r in _load_rows(rmat_path) if r["graph"].endswith("@rmat")]
+    print(f"Topology sensitivity: R-MAT vs power-law stand-in "
+          f"({len(rrows)} shapes).\n")
+    print("| shape | E pow | E rmat | base pow | base rmat | Δbase | "
+          "fwd16 pow | fwd16 rmat | Δfwd16 | bwd16 Δ |")
+    print("|" + "---|" * 10)
+    deltas = []
+    for r in sorted(rrows, key=lambda r: r["n_edges"]):
+        name = r["graph"].rsplit("@", 1)[0]
+        b = base.get(name)
+        if b is None:
+            print(f"| {name} | - | {r['n_edges']} | - | "
+                  f"{r['baseline_ms']:.2f} | - | - | "
+                  f"{r['forward_ms'].get('16', 0):.2f} | - | - |")
+            continue
+
+        def pct(a, p):
+            return f"{100.0 * (a - p) / p:+.0f}%" if (a and p) else "-"
+
+        db = pct(r["baseline_ms"], b["baseline_ms"])
+        f_r, f_p = r["forward_ms"].get("16"), b["forward_ms"].get("16")
+        w_r, w_p = r["backward_ms"].get("16"), b["backward_ms"].get("16")
+        print(f"| {name} | {b['n_edges']} | {r['n_edges']} "
+              f"| {b['baseline_ms']:.2f} | {r['baseline_ms']:.2f} | {db} "
+              f"| {f_p:.2f} | {f_r:.2f} | {pct(f_r, f_p)} "
+              f"| {pct(w_r, w_p)} |")
+        for a, p in ((r["baseline_ms"], b["baseline_ms"]), (f_r, f_p),
+                     (w_r, w_p)):
+            if a and p:
+                deltas.append(abs(a - p) / p)
+    if deltas:
+        print(f"\nmax |delta| across phases: {100*max(deltas):.0f}%  "
+              f"median {100*sorted(deltas)[len(deltas)//2]:.0f}%")
+
+
+def coo_report(coo_path):
+    rows = [r for r in _load_rows(coo_path) if r.get("coo_ms")]
+    print(f"COO SpMM comparator vs CSR baseline ({len(rows)} graphs).\n")
+    print("| graph | V | E | CSR ms | COO ms | CSR/COO |")
+    print("|" + "---|" * 6)
+    for r in sorted(rows, key=lambda r: r["n_edges"]):
+        ratio = r["baseline_ms"] / r["coo_ms"]
+        print(f"| {r['graph']} | {r['n_nodes']} | {r['n_edges']} "
+              f"| {r['baseline_ms']:.2f} | {r['coo_ms']:.2f} "
+              f"| {ratio:.2f}x |")
+
+
 def main():
-    path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SUITE24.json"
+    argv = list(sys.argv[1:])
+    if argv and argv[0] == "--rmat":
+        rmat_report(argv[1], argv[2] if len(argv) > 2
+                    else "BENCH_SUITE24.json")
+        return
+    if argv and argv[0] == "--coo":
+        coo_report(argv[1])
+        return
+    path = argv[0] if argv else "BENCH_SUITE24.json"
     with open(path) as f:
         d = json.load(f)
     rows = d["results"]

@@ -35,6 +35,61 @@ def _resume_rows(path):
     return keep, stale
 
 
+def _fill_fused_mask(args):
+    """Measure fused_mask_ms for resume-JSON rows that lack it.
+
+    Regenerates each graph by name (binary dir first, synthetic suite
+    fallback — same resolution as the main path), runs ONLY the
+    mask-path fused forward at the row's recorded ks, and rewrites
+    --json with the augmented rows after every graph."""
+    import os.path
+    from maxk_tpu.bench.harness import (measure_fused_mask, PROTOCOL,
+                                        synthetic_by_name)
+    from maxk_tpu.data.loaders import load_csr_binary, available_graphs
+
+    src = args.resume_json or args.json
+    rows, stale = _resume_rows(src)
+    with open(src) as f:
+        record = json.load(f)   # preserve partial/geomean/protocol keys
+    if stale:
+        print(f"# fill: {len(stale)} stale-protocol rows left untouched: "
+              f"{', '.join(stale)}", file=sys.stderr)
+    todo = [r for r in rows if not r.fused_mask_ms]
+    print(f"# fill-fused-mask: {len(todo)}/{len(rows)} rows to measure",
+          file=sys.stderr)
+    binaries = set(available_graphs(args.graphs)) \
+        if os.path.isdir(args.graphs) else set()
+    for r in todo:
+        stem, gen = (r.graph.rsplit("@", 1) if "@" in r.graph
+                     else (r.graph, "power"))
+        if stem in binaries:
+            csr = load_csr_binary(args.graphs, stem)
+        else:
+            csr = synthetic_by_name(stem, generator=gen)
+        if csr is None:
+            print(f"# {r.graph}: no graph source, skipped", file=sys.stderr)
+            continue
+        print(f"# {r.graph}: V={csr.n_nodes} E={csr.n_edges}",
+              file=sys.stderr)
+        ks = sorted(r.forward_ms) or list(args.ks)
+        try:
+            r.fused_mask_ms = measure_fused_mask(csr, dim=r.dim, ks=ks)
+        except Exception as e:  # noqa: BLE001 — keep filling other rows
+            print(f"# {r.graph}: FAILED ({type(e).__name__}: "
+                  f"{str(e)[:200]})", file=sys.stderr)
+            continue
+        if args.json:
+            # Only the measured rows change in place (stale-protocol rows
+            # pass through untouched); partial/geomean keys keep their
+            # original (row-completeness) semantics.
+            filled = {x.graph: x.as_json() for x in rows}
+            record["results"] = [filled.get(orig.get("graph"), orig)
+                                 for orig in record["results"]]
+            with open(args.json, "w") as f:
+                json.dump(record, f, indent=2)
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("graph", nargs="?", default=None,
@@ -48,6 +103,13 @@ def main():
     ap.add_argument("--coo", action="store_true",
                     help="also time the COO SpMM baseline (the reference's "
                          "cuSPARSE COO path; slow scatter-add comparator)")
+    ap.add_argument("--no-fused-mask", action="store_true",
+                    help="skip the mask-path fused forward column "
+                         "(fused_mask_ms: the production training route)")
+    ap.add_argument("--fill-fused-mask", action="store_true",
+                    help="targeted augmentation: measure ONLY fused_mask_ms "
+                         "for rows in --resume-json that lack it, rewrite "
+                         "--json, and exit (no other columns touched)")
     ap.add_argument("--large", action="store_true",
                     help="include reddit/products-scale synthetic shapes "
                          "(minutes of host tiling + GBs of transfer)")
@@ -78,6 +140,9 @@ def main():
     from maxk_tpu.data.loaders import load_csr_binary, available_graphs
     from maxk_tpu.bench.harness import (benchmark_graph, analyze_speedups,
                                         synthetic_suite)
+
+    if args.fill_fused_mask:
+        return _fill_fused_mask(args)
 
     if args.graph:
         stem = args.graph.removesuffix(".indptr")
@@ -138,7 +203,7 @@ def main():
             results.append(benchmark_graph(
                 csr, name, dim=args.dim, ks=tuple(args.ks),
                 validate=not args.no_validate, run_gnna=not args.no_gnna,
-                run_coo=args.coo))
+                run_coo=args.coo, run_fused_mask=not args.no_fused_mask))
         except Exception as e:  # noqa: BLE001 — a multi-hour traversal
             # must not lose the remaining graphs to one OOM (the giants
             # can exceed HBM with the validation oracles resident; the

@@ -241,6 +241,9 @@ def _spgemm_rowscale_int8(g, values: jax.Array, selector: jax.Array,
                           dim: int) -> jax.Array:
     from maxk_tpu.ops.graph import PartedGraph
     table = _rowscale_int8_table(values, selector, dim)
+    # Materialize once before per-part slicing (same recompute hazard as
+    # ops.spmm._spmm_parted_impl — see the barrier note there).
+    table = jax.lax.optimization_barrier(table)
     hub = (_hub_term_cbsr(g, values, selector, dim, jnp.bfloat16)
            if g.hub_ids is not None else None)
     if isinstance(g, PartedGraph):
@@ -450,11 +453,15 @@ def _spgemm_cbsr_halo_parted(g, values: jax.Array, selector: jax.Array,
         v_r, s_r = _cbsr_wire_exchange(values, selector, spec, dim, cd)
     cdname = _dtype_name(jnp.bfloat16 if cd == jnp.int8 else cd)
     xp_l, scale, unpack, cdt = _pack_x(x_local, cdname)
+    # Materialize the expanded+packed tables once before the per-part
+    # slicing (recompute hazard — see ops.spmm._spmm_parted_impl note).
+    xp_l = jax.lax.optimization_barrier(xp_l)
     out = jnp.zeros((g.n_rows_padded, dim), dtype=jnp.float32)
     out = _scan_col_parts(g.local_parts, xp_l, n_local, g.col_part_rows,
                           out, scale, unpack, cdt)
     if v_r is not None and g.halo_parts:
         xp_r, _, _, _ = _pack_x(cbsr_expand(v_r, s_r, dim), cdname)
+        xp_r = jax.lax.optimization_barrier(xp_r)
         out = _scan_col_parts(g.halo_parts, xp_r, xp_r.shape[0],
                               g.col_part_rows, out, scale, unpack, cdt)
     return out[: g.n_nodes]

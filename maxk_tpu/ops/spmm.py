@@ -333,6 +333,15 @@ def _spmm_parted_impl(part_arrays, x, part_statics,
     measured rate is ~560 M rows/s under it and ~117 M rows/s for large
     tables; BASELINE.md), accumulating all parts into one output."""
     xp, scale, unpack, compute_dtype = _pack_x(x, compute_dtype_name)
+    # Materialize the packed table ONCE before the per-part slicing.
+    # Without this barrier XLA may fuse the table's producer into every
+    # part's barrier-slice and recompute it per part — invisible when x
+    # is a plain jit parameter, but the fused MaxK forward feeds
+    # pack(cbsr_expand(...)) here, and at k=64 the duplicated expand
+    # produced the suite's 2.3-2.8x forward cliff on the parted OGB
+    # stand-ins (tools/probe_cliff.py: arxiv full 47.2 ms parted vs
+    # 21.2 unparted at identical expand cost; fix -> ~26 ms).
+    xp = jax.lax.optimization_barrier(xp)
     v = xp.shape[0]
     out = jnp.zeros((n_rows_padded, x.shape[1]), dtype=jnp.float32)
     for p, ((cols, vals, lrow, block), (row_block, group)) in enumerate(

@@ -131,6 +131,38 @@ class DistTrainer(FitLoop):
 
         row = NamedSharding(self.mesh, P(GRAPH_AXIS))
         rep = NamedSharding(self.mesh, P())
+        tp_kernel = (NamedSharding(self.mesh, P(None, MODEL_AXIS))
+                     if self.model_parallel > 1 else rep)
+
+        def state_sharding(tree):
+            """Per-leaf at-rest sharding for params / opt-state trees:
+            2-D flax Dense kernels (and their Adam moments / Lookahead
+            slow copies, whose tree paths also end in 'kernel') are
+            column-sharded over the Auto model axis so TP actually
+            reduces per-device weight + optimizer memory; every other
+            leaf is replicated. The shard_map step's in_specs only name
+            the manual graph axis (P()), so the model-axis sharding
+            rides through as Auto and no gather materializes a full
+            kernel copy."""
+            def leaf(path, p):
+                is_kernel = path and getattr(path[-1], "key", None) == "kernel"
+                if is_kernel and getattr(p, "ndim", None) == 2:
+                    return tp_kernel
+                return rep
+            return jax.tree_util.tree_map_with_path(leaf, tree)
+
+        self._state_sharding = state_sharding
+
+        def constrain_at_rest(tree):
+            """Pin a params/opt-state tree to the at-rest shardings inside
+            the step: without this, GSPMD propagates the model-sharded
+            activations' layout onto 1-D leaves (a bias grad comes out
+            P('model')) and the donated state drifts from the placement
+            init_state chose."""
+            return jax.tree.map(jax.lax.with_sharding_constraint, tree,
+                                state_sharding(tree))
+
+        self._constrain_at_rest = constrain_at_rest
 
         def put_rows(arr, fill=0):
             return put_global(shard_node_array(arr, v_pad, fill=fill), row)
@@ -230,6 +262,8 @@ class DistTrainer(FitLoop):
                 updates, opt_state = self.optimizer.update(
                     grads, state.opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
+                params = self._constrain_at_rest(params)
+                opt_state = self._constrain_at_rest(opt_state)
                 return state.replace(params=params, batch_stats=new_bs,
                                      opt_state=opt_state,
                                      epoch=state.epoch + 1), loss
@@ -264,13 +298,14 @@ class DistTrainer(FitLoop):
         variables = self.model.init({"params": rng, "dropout": rng},
                                     graphs_single, features_single,
                                     training=False)
-        params = put_global(variables["params"], self._rep)
+        params = put_global(variables["params"],
+                            self._state_sharding(variables["params"]))
         batch_stats = put_global(
             variables.get("batch_stats", FrozenDict()), self._rep)
+        opt_state = self.optimizer.init(variables["params"])
         return TrainState(params=params, batch_stats=batch_stats,
                           opt_state=put_global(
-                              self.optimizer.init(variables["params"]),
-                              self._rep),
+                              opt_state, self._state_sharding(opt_state)),
                           epoch=put_global(jnp.zeros((), jnp.int32),
                                            self._rep))
 
@@ -288,9 +323,15 @@ class DistTrainer(FitLoop):
 
     def _place_state(self, state: TrainState) -> TrainState:
         """Checkpoint-restored leaves come back committed to single
-        devices; replicate them over the mesh so they are compatible
-        with the shard_map step's replicated params/opt-state."""
-        return put_global(state, self._rep)
+        devices; re-place them with the at-rest shardings (TP kernels
+        column-sharded over the model axis, everything else replicated)
+        so they are compatible with the shard_map step."""
+        return put_global(state, TrainState(
+            params=self._state_sharding(state.params),
+            batch_stats=jax.tree.map(lambda _: self._rep,
+                                     state.batch_stats),
+            opt_state=self._state_sharding(state.opt_state),
+            epoch=self._rep))
 
     def train_step(self, state: TrainState, rng):
         if self._jit_step_fn is None:

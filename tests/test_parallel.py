@@ -190,6 +190,27 @@ def test_dist_step_model_parallel_matches_single(tmp_path):
     tr_tp = DistTrainer(cfg, ds, mesh=mesh2, row_block=8, edge_tile=32)
     assert tr_tp.n_shards == 4 and tr_tp.model_parallel == 2
     st = tr_tp.init_state_concrete(tr1.graphs, tr1.features)
+
+    def assert_state_placement(state):
+        """2-D kernels (params AND their Adam moments) are stored
+        column-sharded over the model axis at rest — per-device buffers
+        hold dout/2 columns — while 1-D leaves stay replicated."""
+        def check(path, p):
+            is_kernel = (path and getattr(path[-1], "key", None) == "kernel"
+                         and p.ndim == 2)
+            spec = p.sharding.spec
+            if is_kernel:
+                assert spec == P(None, MODEL_AXIS), (
+                    f"{jax.tree_util.keystr(path)}: {spec}")
+                shard_shape = p.sharding.shard_shape(p.shape)
+                assert shard_shape[1] * 2 == p.shape[1]
+            else:
+                assert not any(spec), (
+                    f"{jax.tree_util.keystr(path)}: {spec}")
+        jax.tree_util.tree_map_with_path(check, state.params)
+        jax.tree_util.tree_map_with_path(check, state.opt_state)
+
+    assert_state_placement(st)
     losses_tp = []
     rng = jax.random.PRNGKey(cfg.seed + 1)
     for _ in range(3):
@@ -198,6 +219,8 @@ def test_dist_step_model_parallel_matches_single(tmp_path):
         losses_tp.append(float(l))
 
     np.testing.assert_allclose(losses_tp, losses1, rtol=5e-3, atol=5e-4)
+    # Placement survives the donated train steps.
+    assert_state_placement(st)
 
     logits_tp = tr_tp.eval_logits(st)
     logits1 = np.asarray(tr1._jit_logits(st1))

@@ -34,10 +34,16 @@ run() {
 }
 
 missing=$(python - <<'EOF'
+# Mirror kernel_bench's --resume-json filter: only current-protocol rows
+# count as present (stale-protocol rows are dropped and re-measured), and
+# duplicates/extras never drive the count negative.
 import json
+from maxk_tpu.bench.harness import PROTOCOL
 try:
     d = json.load(open('BENCH_SUITE24.json'))
-    print(24 - len(d.get('results', [])))
+    names = {r['graph'] for r in d.get('results', [])
+             if r.get('protocol') == PROTOCOL}
+    print(max(0, 24 - len(names)))
 except Exception:
     print(24)
 EOF
@@ -48,6 +54,9 @@ if [ "$missing" != "0" ]; then
   # is what makes a giant's row miss the cap. The reference's own
   # traversal disables its check too (kernels/main.cu:154-161); the
   # fused kernels are oracle-validated on the 22 smaller suite graphs.
+  # NOTE: --no-validate/--no-gnna applies to EVERY still-missing row in
+  # this retry, not only giants — rows written here are non-uniform with
+  # the validated record and are logged as such by the resume filter.
   run suite24_retry 3000 python kernel_bench.py --suite24 --no-gnna \
       --no-validate --json BENCH_SUITE24.json --resume-json BENCH_SUITE24.json
 fi

@@ -45,13 +45,19 @@ def rmat_report(rmat_path, base_path):
           "fwd16 pow | fwd16 rmat | Δfwd16 | bwd16 Δ |")
     print("|" + "---|" * 10)
     deltas = []
+
+    def fmt(v):
+        # Partially-measured rows (a run with --ks not including 16) carry
+        # None per-k values; render '-' rather than a fake 0.00 ms.
+        return f"{v:.2f}" if v else "-"
+
     for r in sorted(rrows, key=lambda r: r["n_edges"]):
         name = r["graph"].rsplit("@", 1)[0]
         b = base.get(name)
         if b is None:
             print(f"| {name} | - | {r['n_edges']} | - | "
-                  f"{r['baseline_ms']:.2f} | - | - | "
-                  f"{r['forward_ms'].get('16', 0):.2f} | - | - |")
+                  f"{fmt(r['baseline_ms'])} | - | - | "
+                  f"{fmt(r['forward_ms'].get('16'))} | - | - |")
             continue
 
         def pct(a, p):
@@ -61,8 +67,8 @@ def rmat_report(rmat_path, base_path):
         f_r, f_p = r["forward_ms"].get("16"), b["forward_ms"].get("16")
         w_r, w_p = r["backward_ms"].get("16"), b["backward_ms"].get("16")
         print(f"| {name} | {b['n_edges']} | {r['n_edges']} "
-              f"| {b['baseline_ms']:.2f} | {r['baseline_ms']:.2f} | {db} "
-              f"| {f_p:.2f} | {f_r:.2f} | {pct(f_r, f_p)} "
+              f"| {fmt(b['baseline_ms'])} | {fmt(r['baseline_ms'])} | {db} "
+              f"| {fmt(f_p)} | {fmt(f_r)} | {pct(f_r, f_p)} "
               f"| {pct(w_r, w_p)} |")
         for a, p in ((r["baseline_ms"], b["baseline_ms"]), (f_r, f_p),
                      (w_r, w_p)):
@@ -101,20 +107,27 @@ def main():
     proto = d.get("protocol")
     ks = sorted({int(k) for r in rows for k in r["forward_ms"]})
 
+    has_fused = any(r.get("fused_mask_ms") for r in rows)
     print(f"Protocol {proto}, {len(rows)} graphs"
           f"{' (PARTIAL)' if d.get('partial') else ''}.\n")
     hdr = ("| graph | V | E | deg | base ms | bwdT ms | "
            + " | ".join(f"fwd k={k}" for k in ks) + " | "
+           + (" | ".join(f"fused k={k}" for k in ks) + " | "
+              if has_fused else "")
            + " | ".join(f"bwd k={k}" for k in ks) + " | eff |")
     print(hdr)
     print("|" + "---|" * (hdr.count("|") - 1))
     for r in rows:
         fwd = []
+        fused = []
         bwd = []
         for k in ks:
             f_ms = r["forward_ms"].get(str(k))
             s = r["baseline_ms"] / f_ms if f_ms else None
             fwd.append(f"{f_ms:.1f} ({s:.2f}x)" if f_ms else "-")
+            m_ms = (r.get("fused_mask_ms") or {}).get(str(k))
+            ms = r["baseline_ms"] / m_ms if m_ms else None
+            fused.append(f"{m_ms:.1f} ({ms:.2f}x)" if m_ms else "-")
             b_ms = r["backward_ms"].get(str(k))
             bb = r.get("backward_baseline_ms")
             bs = bb / b_ms if (b_ms and bb) else None
@@ -125,7 +138,9 @@ def main():
         print(f"| {r['graph']} | {r['n_nodes']} | {r['n_edges']} "
               f"| {r['avg_degree']:.1f} | {r['baseline_ms']:.2f} "
               f"| {r.get('backward_baseline_ms') or 0:.2f} | "
-              + " | ".join(fwd) + " | " + " | ".join(bwd)
+              + " | ".join(fwd) + " | "
+              + (" | ".join(fused) + " | " if has_fused else "")
+              + " | ".join(bwd)
               + f" | {eff_cell} |")
 
     for label, pred in (("avg-degree>50", lambda r: r["avg_degree"] > 50),
@@ -139,8 +154,16 @@ def main():
                           for r in sel
                           if r["backward_ms"].get(str(k))
                           and r.get("backward_baseline_ms")])
-            print(f"  k={k}: forward {fs:.2f}x  backward {bs:.2f}x"
-                  if fs and bs else f"  k={k}: forward {fs}  backward {bs}")
+            line = (f"  k={k}: forward {fs:.2f}x  backward {bs:.2f}x"
+                    if fs and bs else f"  k={k}: forward {fs}  backward {bs}")
+            if has_fused:
+                fm = geomean(
+                    [r["baseline_ms"] / r["fused_mask_ms"][str(k)]
+                     for r in sel
+                     if (r.get("fused_mask_ms") or {}).get(str(k))])
+                line += (f"  fused-mask {fm:.2f}x" if fm
+                         else "  fused-mask -")
+            print(line)
 
     bad = [r["graph"] for r in rows
            if r.get("validation") and not r["validation"]["passed"]]

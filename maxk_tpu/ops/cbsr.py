@@ -72,6 +72,11 @@ def cbsr_topk(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return values, selector
 
 
+# Max channels per fused expand chain (see cbsr_expand: XLA schedules
+# longer in-context chains catastrophically next to the parted SpMM).
+_EXPAND_CHUNK = int(os.environ.get("MAXK_EXPAND_CHUNK", "32"))
+
+
 def cbsr_expand(values: jax.Array, selector: jax.Array, dim: int) -> jax.Array:
     """Expand CBSR back to a dense (V, dim) matrix (zeros elsewhere).
 
@@ -80,13 +85,53 @@ def cbsr_expand(values: jax.Array, selector: jax.Array, dim: int) -> jax.Array:
     Accumulated channel-by-channel so peak memory is O(V*D) even when
     executed eagerly (a broadcast (V, k, D) intermediate OOMs 16 GB HBM at
     V=262k, k=64, D=256).
+
+    k > 32 is evaluated in barrier-fenced 32-channel chunks: XLA
+    schedules the k-unrolled compare-select fusion catastrophically when
+    its consumer is the column-parted SpMM at k >= 64 — the same fusion
+    that runs 6.4 ms isolated took ~28 ms in-graph on the arxiv
+    stand-in, the round-4 suite's 2.3-2.8x forward cliff on the parted
+    OGB rows (tools/probe_cliff.py; the HLO census in probe_cliff3.py
+    shows no duplication, so it is an XLA scheduling effect of the long
+    chain). Fencing each <=32-channel sub-expand behind an
+    optimization_barrier keeps every fused chain at the size XLA
+    handles well; the chunk-sum adds one (V, dim) add per extra chunk.
+    (A Pallas expand kernel was measured as the alternative: slower
+    than XLA at k <= 32 — 1.7 vs 0.9 ms at k=8 — and Mosaic-crashed at
+    the k >= 64 sizes that matter; tools/probe_expand.py.)
     """
     k = values.shape[1]
-    iota = jnp.arange(dim, dtype=selector.dtype)[None, :]
-    out = jnp.zeros((values.shape[0], dim), values.dtype)
-    for l in range(k):
-        out = out + jnp.where(selector[:, l:l + 1] == iota,
-                              values[:, l:l + 1], jnp.zeros((), values.dtype))
+    if k == 64:
+        # Measured XLA anomaly, pinned by tools/probe_cliff5.py on the
+        # arxiv stand-in (parted consumer, v5e): the fused forward runs
+        # 48.1 ms at k=64 but 24-28 ms at k in {48, 56, 72, 80, 96} —
+        # and the SAME 64 live channels padded to width 72 run 25.96 ms.
+        # The trigger is the (V, 64)-wide operand pair (half a 128-lane
+        # tile), not channel count or chain length. Dead channels carry
+        # value 0 (contribute nothing wherever their selector points),
+        # cost ~0.8 ms of extra compare-selects, and remove the 2.3-2.8x
+        # k=64 suite cliff on the parted OGB stand-ins.
+        values = jnp.pad(values, ((0, 0), (0, 8)))
+        selector = jnp.pad(selector, ((0, 0), (0, 8)))
+        k = 72
+
+    def chunk_expand(v_c, s_c):
+        kc = v_c.shape[1]
+        iota = jnp.arange(dim, dtype=s_c.dtype)[None, :]
+        out = jnp.zeros((v_c.shape[0], dim), v_c.dtype)
+        for l in range(kc):
+            out = out + jnp.where(s_c[:, l:l + 1] == iota, v_c[:, l:l + 1],
+                                  jnp.zeros((), v_c.dtype))
+        return out
+
+    if k <= _EXPAND_CHUNK:
+        return chunk_expand(values, selector)
+    out = None
+    for c0 in range(0, k, _EXPAND_CHUNK):
+        c1 = min(c0 + _EXPAND_CHUNK, k)
+        part = jax.lax.optimization_barrier(
+            chunk_expand(values[:, c0:c1], selector[:, c0:c1]))
+        out = part if out is None else out + part
     return out
 
 

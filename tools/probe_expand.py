@@ -8,6 +8,14 @@ spgemm_forward_cbsr. Recorded as a measured no-win; the production
 training path avoids the expand entirely via the fused op's mask path
 (ops/spgemm.py _mask_path).
 
+Round-5 k-ladder (v5e, V=169k, arxiv stand-in), while chasing the
+parted k=64 forward cliff: Pallas expand vs isolated XLA expand —
+k=8: 1.73 vs 0.93 ms, k=16: 1.94 vs 1.61, k=32: 3.94 vs 3.19 (Pallas
+LOSES at every compiling k), and k=64/96/128 crash tpu_compile_helper
+(the same k-long select-chain Mosaic ceiling as the CBSR compaction
+kernels). The cliff fix is therefore on the XLA side: cbsr_expand
+evaluates k > 32 in barrier-fenced 32-channel chunks (ops/cbsr.py).
+
 Run: python tools/probe_expand.py
 """
 

@@ -35,16 +35,17 @@ def _resume_rows(path):
     return keep, stale
 
 
-def _fill_fused_mask(args):
-    """Measure fused_mask_ms for resume-JSON rows that lack it.
+def _fill_column(args, label, lacks, measure):
+    """Measure ONE missing column for resume-JSON rows that lack it.
 
     Regenerates each graph by name (binary dir first, synthetic suite
-    fallback — same resolution as the main path), runs ONLY the
-    mask-path fused forward at the row's recorded ks, and rewrites
-    --json with the augmented rows after every graph."""
+    fallback — same resolution as the main path), runs ONLY `measure`
+    (which mutates the row in place), and rewrites --json with the
+    augmented rows after every graph. Backs --fill-fused-mask and
+    --fill-coo: targeted augmentation of a multi-hour suite record
+    without re-measuring its other columns."""
     import os.path
-    from maxk_tpu.bench.harness import (measure_fused_mask, PROTOCOL,
-                                        synthetic_by_name)
+    from maxk_tpu.bench.harness import synthetic_by_name
     from maxk_tpu.data.loaders import load_csr_binary, available_graphs
 
     src = args.resume_json or args.json
@@ -54,8 +55,10 @@ def _fill_fused_mask(args):
     if stale:
         print(f"# fill: {len(stale)} stale-protocol rows left untouched: "
               f"{', '.join(stale)}", file=sys.stderr)
-    todo = [r for r in rows if not r.fused_mask_ms]
-    print(f"# fill-fused-mask: {len(todo)}/{len(rows)} rows to measure",
+    only = set(args.only or [])
+    todo = [r for r in rows if lacks(r)
+            and (not only or r.graph in only)]
+    print(f"# fill-{label}: {len(todo)}/{len(rows)} rows to measure",
           file=sys.stderr)
     binaries = set(available_graphs(args.graphs)) \
         if os.path.isdir(args.graphs) else set()
@@ -71,9 +74,8 @@ def _fill_fused_mask(args):
             continue
         print(f"# {r.graph}: V={csr.n_nodes} E={csr.n_edges}",
               file=sys.stderr)
-        ks = sorted(r.forward_ms) or list(args.ks)
         try:
-            r.fused_mask_ms = measure_fused_mask(csr, dim=r.dim, ks=ks)
+            measure(r, csr)
         except Exception as e:  # noqa: BLE001 — keep filling other rows
             print(f"# {r.graph}: FAILED ({type(e).__name__}: "
                   f"{str(e)[:200]})", file=sys.stderr)
@@ -88,6 +90,26 @@ def _fill_fused_mask(args):
             with open(args.json, "w") as f:
                 json.dump(record, f, indent=2)
     return 0
+
+
+def _fill_fused_mask(args):
+    from maxk_tpu.bench.harness import measure_fused_mask
+
+    def measure(r, csr):
+        ks = sorted(r.forward_ms) or list(args.ks)
+        r.fused_mask_ms = measure_fused_mask(csr, dim=r.dim, ks=ks)
+
+    return _fill_column(args, "fused-mask",
+                        lambda r: not r.fused_mask_ms, measure)
+
+
+def _fill_coo(args):
+    from maxk_tpu.bench.harness import measure_coo
+
+    def measure(r, csr):
+        r.coo_ms = measure_coo(csr, dim=r.dim)
+
+    return _fill_column(args, "coo", lambda r: not r.coo_ms, measure)
 
 
 def main():
@@ -110,6 +132,13 @@ def main():
                     help="targeted augmentation: measure ONLY fused_mask_ms "
                          "for rows in --resume-json that lack it, rewrite "
                          "--json, and exit (no other columns touched)")
+    ap.add_argument("--fill-coo", action="store_true",
+                    help="targeted augmentation: measure ONLY coo_ms "
+                         "for rows in --resume-json that lack it (same "
+                         "contract as --fill-fused-mask)")
+    ap.add_argument("--only", nargs="+", default=None,
+                    help="restrict a --fill-* pass to these row names "
+                         "(e.g. the deg>50 core for --fill-coo)")
     ap.add_argument("--large", action="store_true",
                     help="include reddit/products-scale synthetic shapes "
                          "(minutes of host tiling + GBs of transfer)")
@@ -143,6 +172,8 @@ def main():
 
     if args.fill_fused_mask:
         return _fill_fused_mask(args)
+    if args.fill_coo:
+        return _fill_coo(args)
 
     if args.graph:
         stem = args.graph.removesuffix(".indptr")

@@ -420,6 +420,36 @@ def measure_fused_mask(csr: CSRGraph, dim: int = DIM_ORIGIN,
     return out
 
 
+def measure_coo(csr: CSRGraph, dim: int = DIM_ORIGIN, seed: int = 123,
+                log=print) -> float:
+    """Measure ONLY the COO SpMM comparator for one graph (ms).
+
+    Targeted augmentation of an existing suite record (kernel_bench
+    --fill-coo): reproduces benchmark_graph's operand construction (same
+    seed discipline — vals drawn before x) without re-measuring the
+    baseline/forward/backward/validation columns. Parity record for the
+    reference's cuSPARSE COO path (kernels/spmm_cusparse.cu:65-119).
+    """
+    import jax
+    import jax.numpy as jnp
+    from maxk_tpu.ops.spmm import spmm_coo
+
+    rng = np.random.default_rng(seed)
+    vals = rng.uniform(0.0, 1.0, size=csr.n_edges).astype(np.float32)
+    csr = csr.with_values(vals)
+    x = rng.uniform(0.0, 1.0, size=(csr.n_nodes, dim)).astype(np.float32)
+    xj = jnp.asarray(x)
+    rows_np, cols_np = csr.to_coo()
+    rows_j = jnp.asarray(rows_np.astype(np.int32))
+    cols_j = jnp.asarray(cols_np.astype(np.int32))
+    vals_j = jnp.asarray(csr.values)
+    coo_fn = jax.jit(lambda r, c, v, x: spmm_coo(r, c, v, x, csr.n_nodes))
+    coo = time_fn(lambda: coo_fn(rows_j, cols_j, vals_j, xj),
+                  warmup=2, runs=2, chain=2)
+    log(f"0 coo {dim} {dim} coo_spmm {coo.mean_ms:.4f}")
+    return coo.mean_ms
+
+
 def analyze_speedups(results: Sequence[GraphBenchResult],
                      min_degree: float = 50.0, log=print) -> dict:
     """Geomean per-k forward AND backward speedups over the dense

@@ -143,16 +143,37 @@ def cbsr_gather(dense: jax.Array, selector: jax.Array) -> jax.Array:
     (kernels/spmm_maxk_backward.cu:92-103); here it is a one-hot
     compare-reduction over the channel axis, one kept channel at a time
     (O(V*D) peak memory, same rationale as cbsr_expand).
+
+    k > 32 is evaluated in barrier-fenced <=32-channel chunks with the
+    dense input materialized once behind a barrier — the backward twin of
+    cbsr_expand's chunking: when ``dense`` is the output of the parted
+    transpose SpMM (sspmm_sampled at suite-giant scale), XLA scheduled
+    the k-unrolled compare-reduce consumer catastrophically against that
+    producer (s24_ogbn_products backward k=64: 3934 ms composed vs
+    1368 ms SpMM + 225 ms gather measured in isolation — the round-4
+    suite's backward cliff on the parted OGB stand-ins).
     """
     k = selector.shape[1]
     dim = dense.shape[1]
     iota = jnp.arange(dim, dtype=selector.dtype)[None, :]
-    cols = []
-    for l in range(k):
-        hit = selector[:, l:l + 1] == iota                     # (V, D)
-        cols.append(jnp.where(hit, dense,
-                              jnp.zeros((), dense.dtype)).sum(axis=1))
-    return jnp.stack(cols, axis=1)
+
+    def chunk_gather(d, s_c):
+        cols = []
+        for l in range(s_c.shape[1]):
+            hit = s_c[:, l:l + 1] == iota                      # (V, D)
+            cols.append(jnp.where(hit, d,
+                                  jnp.zeros((), d.dtype)).sum(axis=1))
+        return jnp.stack(cols, axis=1)
+
+    if k <= _EXPAND_CHUNK:
+        return chunk_gather(dense, selector)
+    dense = jax.lax.optimization_barrier(dense)
+    parts = []
+    for c0 in range(0, k, _EXPAND_CHUNK):
+        c1 = min(c0 + _EXPAND_CHUNK, k)
+        parts.append(jax.lax.optimization_barrier(
+            chunk_gather(dense, selector[:, c0:c1])))
+    return jnp.concatenate(parts, axis=1)
 
 
 def cbsr_nbytes(n_nodes: int, k: int, dim: int,

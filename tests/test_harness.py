@@ -154,6 +154,44 @@ def test_gnna_padding_rows_sorted():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_fill_coo_augments_rows_in_place(tmp_path):
+    """kernel_bench --fill-coo measures ONLY coo_ms for rows lacking it,
+    leaving every other column (and stale-protocol rows) untouched."""
+    import argparse
+    import importlib.util
+    from pathlib import Path
+
+    row = harness.GraphBenchResult(
+        graph="s24_cora", n_nodes=2708, n_edges=21664, avg_degree=8.0,
+        dim=32, baseline_ms=1.0, gnna_ms=None, topk_ms={8: 1.0},
+        forward_ms={8: 1.0}, backward_ms={8: 1.0}, validation=None)
+    stale = dict(row.as_json(), graph="stale_row", protocol=1)
+    p = tmp_path / "suite.json"
+    p.write_text(json.dumps(dict(protocol=harness.PROTOCOL,
+                                 results=[row.as_json(), stale],
+                                 partial=True)))
+
+    spec = importlib.util.spec_from_file_location(
+        "kernel_bench", Path(harness.__file__).parents[2] / "kernel_bench.py")
+    kb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(kb)
+    args = argparse.Namespace(json=str(p), resume_json=str(p),
+                              graphs=str(tmp_path / "nodir"),
+                              ks=[8], only=None)
+    assert kb._fill_coo(args) == 0
+
+    d = json.loads(p.read_text())
+    by_name = {r["graph"]: r for r in d["results"]}
+    assert by_name["s24_cora"]["coo_ms"] > 0
+    assert by_name["s24_cora"]["forward_ms"] == {"8": 1.0}   # untouched
+    assert by_name["stale_row"].get("coo_ms") is None        # left alone
+    assert d.get("partial") is True                          # key preserved
+
+    # --only restricts the pass; a second run with coo_ms present no-ops.
+    args.only = ["s24_nothere"]
+    assert kb._fill_coo(args) == 0
+
+
 def test_protocol_stamp_and_resume_invalidation(bench_result, tmp_path):
     """--resume-json must drop rows from older timing protocols (the
     round-3 suite kept jitter-era rows because resume skipped by name)."""

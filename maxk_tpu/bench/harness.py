@@ -577,6 +577,39 @@ SUITE24_SPECS = (
 )
 
 
+def _gen_cached(gen, gen_name: str, name: str, v: int, d: float,
+                seed: int):
+    """Generate one suite graph, caching giant structures on disk.
+
+    Multi-million-node synthetic generation costs minutes per graph and
+    the measurement queue regenerates each giant several times (suite
+    row, fill passes, probes). Structure-only cache (indptr/indices —
+    benchmark values are redrawn per run) keyed by (name, generator,
+    seed) under MAXK_GRAPH_CACHE (default /tmp/maxk_graph_cache);
+    graphs small in BOTH nodes and edges regenerate in seconds and
+    skip the cache (reddit is node-small but edge-huge).
+    """
+    import os
+    from maxk_tpu.ops.graph import CSRGraph
+    if v < 500_000 and v * d < 20_000_000:
+        return gen(v, d, seed=seed)
+    cache_dir = os.environ.get("MAXK_GRAPH_CACHE", "/tmp/maxk_graph_cache")
+    path = os.path.join(cache_dir, f"{name}@{gen_name}_s{seed}.npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return CSRGraph(z["indptr"], z["indices"])
+    csr = gen(v, d, seed=seed)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:     # file object: savez must not
+            np.savez(f, indptr=csr.indptr, indices=csr.indices)  # append .npz
+        os.replace(tmp, path)
+    except OSError:
+        pass                      # cache is best-effort (disk full etc.)
+    return csr
+
+
 def suite24(seed: int = 123, skip=(), generator: str = "power"):
     """The 24-graph shape-stand-in suite (see SUITE24_SPECS), smallest
     first so partial runs cover the cheap graphs before the multi-minute
@@ -591,7 +624,7 @@ def suite24(seed: int = 123, skip=(), generator: str = "power"):
     for n, v, d in SUITE24_SPECS:
         if n + suffix in skip:
             continue
-        yield n + suffix, gen(v, d, seed=seed)
+        yield n + suffix, _gen_cached(gen, generator, n, v, d, seed)
 
 
 def synthetic_by_name(name: str, seed: int = 123,
@@ -607,5 +640,5 @@ def synthetic_by_name(name: str, seed: int = 123,
     gen = {"power": synthetic_graph, "rmat": rmat_graph}[generator]
     for n, v, d in SUITE_SPECS + LARGE_SPECS + SUITE24_SPECS:
         if n == name:
-            return gen(v, d, seed=seed)
+            return _gen_cached(gen, generator, n, v, d, seed)
     return None

@@ -144,15 +144,22 @@ def cbsr_gather(dense: jax.Array, selector: jax.Array) -> jax.Array:
     compare-reduction over the channel axis, one kept channel at a time
     (O(V*D) peak memory, same rationale as cbsr_expand).
 
-    k > 32 is evaluated in barrier-fenced <=32-channel chunks with the
-    dense input materialized once behind a barrier — the backward twin of
-    cbsr_expand's chunking: when ``dense`` is the output of the parted
-    transpose SpMM (sspmm_sampled at suite-giant scale), XLA scheduled
-    the k-unrolled compare-reduce consumer catastrophically against that
-    producer (s24_ogbn_products backward k=64: 3934 ms composed vs
-    1368 ms SpMM + 225 ms gather measured in isolation — the round-4
-    suite's backward cliff on the parted OGB stand-ins).
+    On TPU with lane-aligned shapes this dispatches to the Pallas block
+    kernel (ops.pallas_gather): XLA schedules the k-unrolled
+    compare-reduce consumer catastrophically against a column-parted
+    SpMM producer at >=64 live output channels (s24_ogbn_products
+    backward k=64: 3941 ms composed vs 1371 ms SpMM + 225 ms gather in
+    isolation — the round-4 suite's backward cliff on the parted OGB
+    stand-ins; invariant to chunking/barriers/padding/output grouping,
+    tools/probe_bwd_cliff*.py). The XLA fallback below evaluates k > 32
+    in barrier-fenced <=32-channel chunks (bounded fusion chains, the
+    cbsr_expand discipline — necessary but NOT sufficient against the
+    parted-producer cliff).
     """
+    from maxk_tpu.ops.pallas_gather import (cbsr_gather_pallas,
+                                            pallas_gather_supported)
+    if pallas_gather_supported(dense, selector):
+        return cbsr_gather_pallas(dense, selector)
     k = selector.shape[1]
     dim = dense.shape[1]
     iota = jnp.arange(dim, dtype=selector.dtype)[None, :]
@@ -163,7 +170,11 @@ def cbsr_gather(dense: jax.Array, selector: jax.Array) -> jax.Array:
             hit = s_c[:, l:l + 1] == iota                      # (V, D)
             cols.append(jnp.where(hit, d,
                                   jnp.zeros((), d.dtype)).sum(axis=1))
-        return jnp.stack(cols, axis=1)
+        out = jnp.stack(cols, axis=1)
+        # Sub-f32 inputs widen on output (each sum has exactly one live
+        # term, so this only changes the carrier) — same contract as the
+        # Pallas kernel's f32 out_shape.
+        return out.astype(jnp.float32) if d.dtype.itemsize < 4 else out
 
     if k <= _EXPAND_CHUNK:
         return chunk_gather(dense, selector)

@@ -475,8 +475,24 @@ def sspmm_sampled(g_t: TiledGraph, dy: jax.Array, selector: jax.Array,
 
     API parity with ``maxk_cuda_kernels.spmm_maxk_backward``
     (cuda_kernel_bindings.cpp:107-161); g_t is the precomputed transpose.
+
+    Under the default bf16 compute contract (this op's SpMM multiplies
+    in bf16; only the tile accumulate is f32) the dense intermediate is
+    handed to the sampler in bf16. Besides matching the stated
+    precision, this is what keeps suite giants off XLA's remat cliff:
+    at products scale + k=64 the program peak sits close enough to the
+    16 GiB HBM budget that the remat pass re-runs the packed-table
+    fusions inside 5 of the 19 part-scan loops (traced 540 ms/loop vs
+    71 clean — a +2.5 s cliff invariant to every consumer-side
+    formulation, tools/probe_bwd_cliff*.py / probe_bwd_trace.py);
+    dropping the 2.5 GiB f32 intermediate to 1.25 GiB bf16 clears the
+    trigger (measured clean). compute_dtype=float32 (validation) keeps
+    the exact f32 hand-off.
     """
     ds = spmm(g_t, dy, compute_dtype=compute_dtype)
+    cd = jnp.bfloat16 if compute_dtype is None else jnp.dtype(compute_dtype)
+    if cd != jnp.float32:
+        ds = ds.astype(jnp.bfloat16)
     return cbsr_gather(ds, selector)
 
 

@@ -92,3 +92,44 @@ def test_supported_gate():
     assert not pallas_topk_supported(x, 0)
     assert not pallas_topk_supported(x, 257)
     # on CPU test runs the backend gate is off unless forced
+
+
+# ---------------------------------------------------------------------------
+# Pallas CBSR sampling (gather) kernel — ops.pallas_gather
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("v,d,k", [(500, 256, 64), (513, 128, 8),
+                                   (1024, 256, 33), (100, 256, 96)])
+def test_cbsr_gather_pallas_matches_take_along_axis(v, d, k):
+    from maxk_tpu.ops.pallas_gather import cbsr_gather_pallas
+    rng = np.random.default_rng(k)
+    ds = rng.normal(size=(v, d)).astype(np.float32)
+    sel = np.sort(rng.integers(0, d, size=(v, k)), axis=1).astype(np.int32)
+    out = np.asarray(cbsr_gather_pallas(jnp.asarray(ds), jnp.asarray(sel),
+                                        interpret=True))
+    ref = np.take_along_axis(ds, sel.astype(np.int64), axis=1)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_cbsr_gather_pallas_matches_xla_formulation():
+    """The TPU dispatch target must agree bit-for-bit with cbsr_gather's
+    XLA formulation on real top-k selectors (unique per row)."""
+    from maxk_tpu.ops.cbsr import cbsr_gather
+    from maxk_tpu.ops.pallas_gather import cbsr_gather_pallas
+    x = _rand(300, 256, seed=7)
+    _, sel = cbsr_topk(x, 64)
+    ds = _rand(300, 256, seed=8)
+    out_x = np.asarray(cbsr_gather(ds, sel))
+    out_p = np.asarray(cbsr_gather_pallas(ds, sel, interpret=True))
+    np.testing.assert_array_equal(out_x, out_p)
+
+
+def test_pallas_gather_supported_gate():
+    from maxk_tpu.ops.pallas_gather import pallas_gather_supported
+    ds = jnp.zeros((10, 256), jnp.float32)
+    sel = jnp.zeros((10, 32), jnp.int32)
+    on_tpu = jax.default_backend() == "tpu"
+    assert pallas_gather_supported(ds, sel) == on_tpu
+    assert not pallas_gather_supported(ds[:, :100], sel)      # D % 128
+    assert not pallas_gather_supported(ds, sel.astype(jnp.int16))
+    assert not pallas_gather_supported(ds.astype(jnp.float64), sel)

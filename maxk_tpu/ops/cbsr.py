@@ -170,11 +170,11 @@ def cbsr_gather(dense: jax.Array, selector: jax.Array) -> jax.Array:
             hit = s_c[:, l:l + 1] == iota                      # (V, D)
             cols.append(jnp.where(hit, d,
                                   jnp.zeros((), d.dtype)).sum(axis=1))
-        out = jnp.stack(cols, axis=1)
-        # Sub-f32 inputs widen on output (each sum has exactly one live
-        # term, so this only changes the carrier) — same contract as the
-        # Pallas kernel's f32 out_shape.
-        return out.astype(jnp.float32) if d.dtype.itemsize < 4 else out
+        # Output carries the input dtype (each sum has exactly one live
+        # term). No f32 widening: at products scale + k=64 the widened
+        # output's extra 0.5 GiB alone re-armed the remat cliff the
+        # bf16 hand-off exists to dodge (measured 1514 -> 3869 ms).
+        return jnp.stack(cols, axis=1)
 
     if k <= _EXPAND_CHUNK:
         return chunk_gather(dense, selector)
